@@ -1,0 +1,32 @@
+"""mitsuba_tpu — a TPU-native differentiable Monte Carlo renderer.
+
+Brand-new JAX/XLA/Pallas implementation of the capabilities of the
+ksalesin/mitsuba3-nasa fork of Mitsuba 3 (polarized spectral forward +
+inverse radiative transfer).  See SURVEY.md at the repo root for the
+capability blueprint and reference anchors.
+
+Typical use mirrors the reference Python API:
+
+    import mitsuba_tpu as mi
+    mi.set_variant('llvm_ad_rgb')        # -> rgb variant
+    scene = mi.load_dict(mi.cornell_box())
+    img = mi.render(scene, spp=64)
+"""
+from .variant import set_variant, variant, variants, current_variant, Variant
+
+from .core import math, warp, quad, spectrum
+from .core.transform import Transform, build_transform
+from .core.rng import RNG
+from .core.distr import (
+    DiscreteDistribution,
+    ContinuousDistribution,
+    IrregularContinuousDistribution,
+)
+
+__version__ = "0.1.0"
+
+# Populated as subsystems land (scene loading, render entry points, AD ops):
+from .render.scene_loader import load_dict, load_file, cornell_box  # noqa: E402
+from .render.params import traverse, SceneParameters  # noqa: E402
+from .render_api import render, render_1, render_test  # noqa: E402
+from . import ad  # noqa: E402

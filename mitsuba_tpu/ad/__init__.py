@@ -1,0 +1,2 @@
+"""Differentiable-rendering layer (reference: src/python/python/ad/*)."""
+from .optimizers import Adam, SGD, Optimizer

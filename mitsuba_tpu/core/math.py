@@ -1,0 +1,54 @@
+"""Math constants and numerics helpers (reference: include/mitsuba/core/math.h)."""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+PI = 3.14159265358979323846
+INV_PI = 1.0 / PI
+TWO_PI = 2.0 * PI
+INV_TWO_PI = 1.0 / TWO_PI
+FOUR_PI = 4.0 * PI
+INV_FOUR_PI = 1.0 / FOUR_PI
+
+RAY_EPSILON = 1e-4          # min-t offset for secondary rays
+SHADOW_EPSILON = 1e-4
+EPSILON = 1e-7
+INF = jnp.inf
+
+
+def safe_sqrt(x):
+    return jnp.sqrt(jnp.maximum(x, 0.0))
+
+
+def safe_rsqrt(x):
+    return jnp.where(x > 0, 1.0 / jnp.sqrt(jnp.maximum(x, 1e-30)), 0.0)
+
+
+def safe_div(a, b, eps=1e-20):
+    """a/b with 0 where |b| < eps — masked-lane-safe division."""
+    ok = jnp.abs(b) > eps
+    return jnp.where(ok, a / jnp.where(ok, b, 1.0), 0.0)
+
+
+def rcp(x):
+    return 1.0 / x
+
+
+def sqr(x):
+    return x * x
+
+
+def lerp(a, b, t):
+    return a * (1.0 - t) + b * t
+
+
+def mulsign(x, s):
+    return jnp.where(s >= 0, x, -x)
+
+
+def safe_acos(x):
+    return jnp.arccos(jnp.clip(x, -1.0, 1.0))
+
+
+def safe_asin(x):
+    return jnp.arcsin(jnp.clip(x, -1.0, 1.0))

@@ -1,0 +1,64 @@
+"""Integrator registry (reference: plugin names in src/integrators/)."""
+from __future__ import annotations
+
+
+def make_integrator(spec):
+    if not isinstance(spec, dict):
+        raise ValueError("integrator spec must be a dict")
+    t = spec.get("type", "path")
+    max_depth = int(spec.get("max_depth", 8))
+    rr_depth = int(spec.get("rr_depth", 5))
+    hide = bool(spec.get("hide_emitters", False))
+
+    if t in ("path", "prb", "prb_basic"):
+        from .path import PathIntegrator
+
+        return PathIntegrator(max_depth=max_depth, rr_depth=rr_depth, hide_emitters=hide)
+    if t == "direct":
+        from .direct import DirectIntegrator
+
+        return DirectIntegrator(
+            emitter_samples=int(spec.get("emitter_samples", 1)),
+            bsdf_samples=int(spec.get("bsdf_samples", 1)),
+        )
+    if t == "depth":
+        from .direct import DepthIntegrator
+
+        return DepthIntegrator()
+    if t in ("volpath", "volpathmis", "prbvolpath", "prb_unpolarized"):
+        from .volpath import VolPathIntegrator
+
+        return VolPathIntegrator(
+            max_depth=max_depth, rr_depth=rr_depth, hide_emitters=hide
+        )
+    if t in ("volpathaos", "prb_volpathaos", "prb_polarized"):
+        from .volpathaos import VolPathAOSIntegrator
+
+        return VolPathAOSIntegrator(
+            max_depth=max_depth, rr_depth=rr_depth, hide_emitters=hide
+        )
+    if t == "aov":
+        from .aov import AOVIntegrator
+
+        return AOVIntegrator(aovs=str(spec.get("aovs", "dd.y:depth")))
+    if t == "stokes":
+        from .stokes import StokesIntegrator
+
+        nested = None
+        for v in spec.values():
+            if isinstance(v, dict) and "type" in v:
+                nested = make_integrator(v)
+        return StokesIntegrator(nested=nested)
+    if t == "moment":
+        from .moment import MomentIntegrator
+
+        nested = None
+        for v in spec.values():
+            if isinstance(v, dict) and "type" in v:
+                nested = make_integrator(v)
+        return MomentIntegrator(nested=nested)
+    if t == "ptracer":
+        from .ptracer import PTracerIntegrator
+
+        return PTracerIntegrator(max_depth=max_depth, rr_depth=rr_depth)
+    raise ValueError(f"unknown integrator type {t!r}")

@@ -1,0 +1,209 @@
+"""Scene: the root pytree owning geometry + all plugin instances.
+
+TPU-native analog of the reference Scene (src/render/scene.cpp:22-96,181-353).
+Static structure (plugin types, counts, indices) lives in aux data; all
+numeric parameters are differentiable pytree leaves.  Dispatch over plugin
+instances is a static python loop + lane masks — the wavefront equivalent of
+Dr.Jit's vectorized vcalls.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from .records import DirectionSample, Ray, spawn_ray
+from . import shapes as shapes_mod
+
+
+@struct.dataclass
+class Scene:
+    geometry: shapes_mod.Geometry
+    bsdfs: tuple                 # BSDF instances
+    emitters: tuple              # emitter instances
+    sensors: tuple               # sensor instances
+    media: tuple                 # medium instances
+    phases: tuple                # phase function instances
+    integrator: object
+    film: object
+    shape_bsdf: jnp.ndarray      # [n_shapes] int32 index into bsdfs
+    shape_emitter: jnp.ndarray   # [n_shapes] int32 index into emitters, -1 none
+    shape_interior_medium: jnp.ndarray   # [n_shapes] int32 index into media, -1
+    shape_exterior_medium: jnp.ndarray   # [n_shapes] int32
+    bbox_min: jnp.ndarray        # [3]
+    bbox_max: jnp.ndarray        # [3]
+    spp: int = struct.field(pytree_node=False)
+    env_emitter: int = struct.field(pytree_node=False)   # index or -1
+    n_channels: int = struct.field(pytree_node=False)
+    polarized: bool = struct.field(pytree_node=False)
+    camera_medium: int = struct.field(pytree_node=False, default=-1)
+    # (key, path) pairs for traverse()/SceneParameters; static metadata
+    param_paths: tuple = struct.field(pytree_node=False, default=())
+
+    # -- intersection -------------------------------------------------------
+    def ray_intersect(self, ray: Ray, active=None):
+        pi = shapes_mod.ray_intersect_preliminary(self.geometry, ray, active)
+        return shapes_mod.compute_surface_interaction(self.geometry, ray, pi)
+
+    def ray_test(self, ray: Ray, active=None):
+        return shapes_mod.ray_test(self.geometry, ray, active)
+
+    # -- emitter sampling (reference: scene.cpp:227-353) --------------------
+    @property
+    def n_emitters(self):
+        return len(self.emitters)
+
+    def sample_emitter_direction(
+        self, ref_p, u0, u2, wavelengths, active, test_visibility=True, ref_n=None
+    ):
+        """Uniformly pick an emitter, sample a direction toward it, optionally
+        shadow-test.  Returns (DirectionSample, weight [N,C]) with weight =
+        radiance/pdf already including the 1/n_emitters selection factor
+        (reference: Scene::sample_emitter_direction, scene.cpp:299-353)."""
+        n_lanes = ref_p.shape[0]
+        E = self.n_emitters
+        if E == 0:
+            zero = jnp.zeros((n_lanes, self.n_channels), jnp.float32)
+            ds = DirectionSample(
+                p=ref_p, n=jnp.zeros_like(ref_p), d=jnp.zeros_like(ref_p),
+                dist=jnp.zeros((n_lanes,)), pdf=jnp.zeros((n_lanes,)),
+                delta=jnp.zeros((n_lanes,), bool),
+                emitter_index=jnp.full((n_lanes,), -1, jnp.int32),
+            )
+            return ds, zero
+
+        sel = jnp.clip((u0 * E).astype(jnp.int32), 0, E - 1)
+        ds_out = None
+        w_out = jnp.zeros((n_lanes, self.n_channels), jnp.float32)
+        for i, em in enumerate(self.emitters):
+            ds_i, w_i = em.sample_direction(
+                ref_p, u2, self.geometry, wavelengths, self.n_channels, i
+            )
+            m = sel == i
+            if ds_out is None:
+                ds_out, w_out = ds_i, jnp.where(m[..., None], w_i, 0.0)
+            else:
+                ds_out = DirectionSample(
+                    p=jnp.where(m[..., None], ds_i.p, ds_out.p),
+                    n=jnp.where(m[..., None], ds_i.n, ds_out.n),
+                    d=jnp.where(m[..., None], ds_i.d, ds_out.d),
+                    dist=jnp.where(m, ds_i.dist, ds_out.dist),
+                    pdf=jnp.where(m, ds_i.pdf, ds_out.pdf),
+                    delta=jnp.where(m, ds_i.delta, ds_out.delta),
+                    emitter_index=jnp.where(m, ds_i.emitter_index, ds_out.emitter_index),
+                )
+                w_out = jnp.where(m[..., None], w_i, w_out)
+        # selection probability 1/E
+        ds_out = ds_out.replace(pdf=ds_out.pdf / E)
+        w_out = w_out * E
+
+        if test_visibility:
+            occluder_dist = ds_out.dist * (1.0 - 1e-3)
+            sray = spawn_ray(
+                ref_p,
+                ref_n if ref_n is not None else ds_out.d,
+                ds_out.d,
+                maxt=occluder_dist,
+            )
+            occluded = self.ray_test(sray, active & (ds_out.pdf > 0))
+            w_out = jnp.where(occluded[..., None], 0.0, w_out)
+
+        w_out = jnp.where(active[..., None], w_out, 0.0)
+        return ds_out, w_out
+
+    def pdf_emitter_direction_hit(self, ref_p, si):
+        """Solid-angle NEE pdf of the emitter hit at si (for MIS at emitter
+        hits; reference: Scene::pdf_emitter_direction).  Returns 0 for lanes
+        not hitting an emitter."""
+        E = self.n_emitters
+        if E == 0:
+            return jnp.zeros(ref_p.shape[:-1], jnp.float32)
+        shape_idx = jnp.maximum(si.shape_index, 0)
+        em_idx = jnp.where(
+            si.shape_index >= 0, self.shape_emitter[shape_idx], -1
+        )
+        pdf = jnp.zeros(ref_p.shape[:-1], jnp.float32)
+        for i, em in enumerate(self.emitters):
+            if em.is_delta or em.is_environment:
+                continue
+            m = em_idx == i
+            pdf = jnp.where(m, em.pdf_direction(ref_p, si), pdf)
+        return pdf / E
+
+    def pdf_emitter_direction_escaped(self, d):
+        """NEE pdf for escaped rays evaluated on the environment emitter."""
+        E = self.n_emitters
+        if self.env_emitter < 0 or E == 0:
+            return jnp.zeros(d.shape[:-1], jnp.float32)
+        em = self.emitters[self.env_emitter]
+        return em.pdf_direction_escaped(d) / E
+
+    def eval_emitter_hit(self, si, wavelengths):
+        """Radiance of the emitter (if any) at surface hit si."""
+        n_lanes = si.p.shape[0]
+        out = jnp.zeros((n_lanes, self.n_channels), jnp.float32)
+        if self.n_emitters == 0:
+            return out
+        shape_idx = jnp.maximum(si.shape_index, 0)
+        em_idx = jnp.where(si.shape_index >= 0, self.shape_emitter[shape_idx], -1)
+        for i, em in enumerate(self.emitters):
+            if em.is_environment or em.is_delta:
+                continue
+            m = em_idx == i
+            out = jnp.where(m[..., None], em.eval(si, wavelengths, self.n_channels), out)
+        return out
+
+    def eval_environment(self, d, wavelengths):
+        """Environment radiance for escaped rays along direction d."""
+        if self.env_emitter < 0:
+            return jnp.zeros(d.shape[:-1] + (self.n_channels,), jnp.float32)
+        em = self.emitters[self.env_emitter]
+        return em.eval_escaped(d, wavelengths, self.n_channels)
+
+    # -- bsdf dispatch ------------------------------------------------------
+    def bsdf_index_at(self, si):
+        shape_idx = jnp.maximum(si.shape_index, 0)
+        return jnp.where(si.shape_index >= 0, self.shape_bsdf[shape_idx], -1)
+
+    def bsdf_eval_pdf(self, si, wo, wavelengths, active):
+        """Masked vcall over BSDF instances (eval + pdf fused)."""
+        n_lanes = si.p.shape[0]
+        val = jnp.zeros((n_lanes, self.n_channels), jnp.float32)
+        pdf = jnp.zeros((n_lanes,), jnp.float32)
+        b_idx = self.bsdf_index_at(si)
+        for i, b in enumerate(self.bsdfs):
+            m = (b_idx == i) & active
+            if not b.flags_smooth:
+                continue
+            v_i = b.eval(si, wo, wavelengths, self.n_channels)
+            p_i = b.pdf(si, wo)
+            val = jnp.where(m[..., None], v_i, val)
+            pdf = jnp.where(m, p_i, pdf)
+        return val, pdf
+
+    def bsdf_sample(self, si, u_lobe, u2, wavelengths, active):
+        from .records import BSDFSample
+
+        n_lanes = si.p.shape[0]
+        b_idx = self.bsdf_index_at(si)
+        bs = BSDFSample(
+            wo=jnp.tile(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), (n_lanes, 1)),
+            pdf=jnp.zeros((n_lanes,)),
+            eta=jnp.ones((n_lanes,)),
+            delta=jnp.zeros((n_lanes,), bool),
+        )
+        weight = jnp.zeros((n_lanes, self.n_channels), jnp.float32)
+        for i, b in enumerate(self.bsdfs):
+            m = (b_idx == i) & active
+            bs_i, w_i = b.sample(u_lobe, u2, si, wavelengths, self.n_channels)
+            bs = BSDFSample(
+                wo=jnp.where(m[..., None], bs_i.wo, bs.wo),
+                pdf=jnp.where(m, bs_i.pdf, bs.pdf),
+                eta=jnp.where(m, bs_i.eta, bs.eta),
+                delta=jnp.where(m, bs_i.delta, bs.delta),
+            )
+            weight = jnp.where(m[..., None], w_i, weight)
+        return bs, weight
+
+    @property
+    def bbox_radius(self):
+        return 0.5 * jnp.sqrt(jnp.sum((self.bbox_max - self.bbox_min) ** 2))

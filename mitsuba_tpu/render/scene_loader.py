@@ -1,0 +1,704 @@
+"""Scene-dict loader (reference: src/core/xml.cpp load_dict semantics +
+mi.cornell_box, src/python/python/util.py:757-891).
+
+Parses the reference's scene-dict vocabulary into the Scene pytree, resolving
+<ref> ids, nested objects and defaults, and records dotted parameter paths for
+traverse()/SceneParameters (reference: util.py:13-355).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..variant import current_variant
+from ..core.transform import Transform, build_transform
+from . import bsdfs as B
+from . import emitters as E
+from . import sensors as SEN
+from . import shapes as SH
+from . import textures as TX
+from .film import Film
+from .scene import Scene
+
+BSDF_TYPES = {
+    "diffuse", "dielectric", "thindielectric", "conductor", "roughconductor",
+    "roughplastic", "plastic", "twosided", "null", "mask",
+}
+SHAPE_TYPES = {"rectangle", "cube", "sphere", "obj", "disk"}
+EMITTER_TYPES = {"constant", "point", "directional", "envmap", "spot"}
+SENSOR_TYPES = {
+    "perspective", "thinlens", "orthographic", "radiancemeter",
+    "irradiancemeter", "distant", "batch",
+}
+MEDIUM_TYPES = {"homogeneous", "heterogeneous"}
+PHASE_TYPES = {
+    "isotropic", "hg", "rayleigh", "mie", "tabphase", "tabphase_polarized",
+    "blendphase",
+}
+INTEGRATOR_TYPES = {
+    "path", "direct", "depth", "aov", "volpath", "volpathmis", "volpathaos",
+    "stokes", "moment", "ptracer", "prb", "prb_basic", "prbvolpath",
+    "prb_unpolarized", "prb_polarized", "prb_volpathaos",
+}
+
+
+# ---------------------------------------------------------------------------
+# Textures / spectra
+# ---------------------------------------------------------------------------
+
+def parse_texture(spec, default=1.0, paths=None, prefix=None):
+    """Parse a texture/spectrum spec (float | rgb dict | plugin dict).
+    Returns (texture, name-of-differentiable-leaf)."""
+    if spec is None:
+        spec = default
+    if isinstance(spec, (int, float)):
+        tex = TX.ConstantTexture(value=jnp.asarray([float(spec)], jnp.float32))
+        return tex, "value"
+    if isinstance(spec, (list, tuple, np.ndarray)):
+        tex = TX.ConstantTexture(value=jnp.asarray(spec, jnp.float32))
+        return tex, "value"
+    t = spec["type"]
+    if t in ("rgb", "srgb"):
+        return TX.ConstantTexture(value=jnp.asarray(spec["value"], jnp.float32)), "value"
+    if t == "uniform":
+        return TX.ConstantTexture(value=jnp.asarray([spec.get("value", 1.0)], jnp.float32)), "value"
+    if t == "checkerboard":
+        to_uv = spec.get("to_uv")
+        uv_scale = np.asarray([1.0, 1.0], np.float32)
+        uv_offset = np.asarray([0.0, 0.0], np.float32)
+        if to_uv is not None:
+            tr = build_transform(to_uv)
+            m = np.asarray(tr.m)
+            uv_scale = np.asarray([m[0, 0], m[1, 1]], np.float32)
+            uv_offset = np.asarray([m[0, 3], m[1, 3]], np.float32)
+        c0, _ = parse_texture(spec.get("color0", 0.4))
+        c1, _ = parse_texture(spec.get("color1", 0.2))
+        return (
+            TX.CheckerboardTexture(
+                color0=c0.value, color1=c1.value,
+                uv_scale=jnp.asarray(uv_scale), uv_offset=jnp.asarray(uv_offset),
+            ),
+            "color0",
+        )
+    if t == "bitmap":
+        if "data" in spec:
+            data = jnp.asarray(spec["data"], jnp.float32)
+        else:
+            data = jnp.asarray(_load_image(spec["filename"]), jnp.float32)
+        if data.ndim == 2:
+            data = data[..., None]
+        return TX.BitmapTexture(data=data), "data"
+    if t == "singleton":
+        return (
+            TX.SingletonSpectrum(
+                value=jnp.asarray(spec.get("value", 1.0), jnp.float32),
+                wavelength=jnp.asarray(spec.get("wavelength", 550.0), jnp.float32),
+            ),
+            "value",
+        )
+    if t == "d65":
+        return TX.D65Spectrum(scale=jnp.asarray(spec.get("scale", 1.0), jnp.float32)), "scale"
+    if t == "blackbody":
+        return (
+            TX.BlackbodySpectrum(
+                temperature=jnp.asarray(spec.get("temperature", 6504.0), jnp.float32),
+                scale=jnp.asarray(spec.get("scale", 1.0), jnp.float32),
+            ),
+            "scale",
+        )
+    if t == "regular":
+        return (
+            TX.RegularSpectrum(
+                values=jnp.asarray(spec["values"], jnp.float32),
+                wl_min=jnp.asarray(spec.get("wavelength_min", spec.get("lambda_min", 360.0)), jnp.float32),
+                wl_max=jnp.asarray(spec.get("wavelength_max", spec.get("lambda_max", 830.0)), jnp.float32),
+            ),
+            "values",
+        )
+    if t == "irregular":
+        return (
+            TX.IrregularSpectrum(
+                wavelengths_nodes=jnp.asarray(spec["wavelengths"], jnp.float32),
+                values=jnp.asarray(spec["values"], jnp.float32),
+            ),
+            "values",
+        )
+    raise ValueError(f"unknown texture/spectrum type {t!r}")
+
+
+def _load_image(filename):
+    fn = str(filename)
+    if fn.endswith(".npy"):
+        return np.load(fn)
+    if fn.endswith(".pfm"):
+        return _read_pfm(fn)
+    raise ValueError(
+        f"unsupported image format for {fn!r} (npy/pfm supported; pass 'data' directly)"
+    )
+
+
+def _read_pfm(fn):
+    with open(fn, "rb") as f:
+        header = f.readline().strip()
+        color = header == b"PF"
+        dims = f.readline().split()
+        w, h = int(dims[0]), int(dims[1])
+        scale = float(f.readline().strip())
+        data = np.fromfile(f, "<f4" if scale < 0 else ">f4")
+        data = data.reshape(h, w, 3 if color else 1)
+        return data[::-1]
+
+
+# ---------------------------------------------------------------------------
+# BSDFs
+# ---------------------------------------------------------------------------
+
+_IOR_PRESETS = {"bk7": 1.5046, "water": 1.3330, "diamond": 2.419, "air": 1.000277}
+
+# Spectrally-averaged eta/k for common conductors (reference: src/core/ior.h data)
+_CONDUCTOR_PRESETS = {
+    "Au": ([0.143, 0.375, 1.442], [3.983, 2.386, 1.603]),
+    "Ag": ([0.156, 0.144, 0.135], [3.60, 3.13, 2.38]),
+    "Al": ([1.345, 0.965, 0.617], [7.47, 6.40, 5.30]),
+    "Cu": ([0.20, 0.924, 1.102], [3.91, 2.45, 2.14]),
+    "none": ([0.0, 0.0, 0.0], [1.0, 1.0, 1.0]),
+}
+
+
+def _ior(v, default=1.5046):
+    if v is None:
+        return default
+    if isinstance(v, str):
+        return _IOR_PRESETS[v.lower()]
+    return float(v)
+
+
+def parse_bsdf(spec, name, paths):
+    t = spec["type"]
+    if t == "twosided":
+        nested_spec = spec.get("bsdf") or next(
+            v for k, v in spec.items() if isinstance(v, dict) and v.get("type") in BSDF_TYPES
+        )
+        nested = parse_bsdf(nested_spec, name, paths)
+        return B.TwoSidedBSDF(nested=nested)
+    if t == "diffuse":
+        tex, leaf = parse_texture(spec.get("reflectance", 0.5))
+        paths.append((f"{name}.reflectance.{leaf}", ("reflectance", leaf)))
+        return B.DiffuseBSDF(reflectance=tex)
+    if t == "dielectric":
+        int_ior = _ior(spec.get("int_ior"), 1.5046)
+        ext_ior = _ior(spec.get("ext_ior"), 1.000277)
+        sr, _ = parse_texture(spec.get("specular_reflectance", 1.0))
+        st, _ = parse_texture(spec.get("specular_transmittance", 1.0))
+        return B.SmoothDielectricBSDF(
+            eta=jnp.asarray(int_ior / ext_ior, jnp.float32),
+            specular_reflectance=sr, specular_transmittance=st,
+        )
+    if t == "thindielectric":
+        int_ior = _ior(spec.get("int_ior"), 1.5046)
+        ext_ior = _ior(spec.get("ext_ior"), 1.000277)
+        sr, _ = parse_texture(spec.get("specular_reflectance", 1.0))
+        st, _ = parse_texture(spec.get("specular_transmittance", 1.0))
+        return B.ThinDielectricBSDF(
+            eta=jnp.asarray(int_ior / ext_ior, jnp.float32),
+            specular_reflectance=sr, specular_transmittance=st,
+        )
+    if t in ("conductor", "roughconductor"):
+        mat = spec.get("material", "none")
+        if "eta" in spec:
+            eta = np.asarray(spec["eta"], np.float32)
+            k = np.asarray(spec.get("k", 1.0), np.float32)
+        else:
+            eta, k = (np.asarray(x, np.float32) for x in _CONDUCTOR_PRESETS[mat])
+        nc = current_variant().n_channels
+        if eta.ndim == 1 and eta.shape[0] == 3 and nc != 3:
+            eta, k = eta.mean(keepdims=True), k.mean(keepdims=True)
+        sr, _ = parse_texture(spec.get("specular_reflectance", 1.0))
+        if t == "conductor":
+            return B.SmoothConductorBSDF(
+                eta=jnp.asarray(eta), k=jnp.asarray(k), specular_reflectance=sr
+            )
+        alpha = float(spec.get("alpha", 0.1))
+        au = float(spec.get("alpha_u", alpha))
+        av = float(spec.get("alpha_v", alpha))
+        paths.append((f"{name}.alpha", ("alpha_u",)))
+        return B.RoughConductorBSDF(
+            eta=jnp.asarray(eta), k=jnp.asarray(k),
+            alpha_u=jnp.asarray(au, jnp.float32), alpha_v=jnp.asarray(av, jnp.float32),
+            specular_reflectance=sr,
+        )
+    if t in ("roughplastic", "plastic"):
+        dr, leaf = parse_texture(spec.get("diffuse_reflectance", 0.5))
+        paths.append((f"{name}.diffuse_reflectance.{leaf}", ("diffuse_reflectance", leaf)))
+        sr, _ = parse_texture(spec.get("specular_reflectance", 1.0))
+        int_ior = _ior(spec.get("int_ior"), 1.49)
+        ext_ior = _ior(spec.get("ext_ior"), 1.000277)
+        alpha = float(spec.get("alpha", 0.1)) if t == "roughplastic" else 0.01
+        return B.RoughPlasticBSDF(
+            eta=jnp.asarray(int_ior / ext_ior, jnp.float32),
+            alpha=jnp.asarray(alpha, jnp.float32),
+            diffuse_reflectance=dr, specular_reflectance=sr,
+        )
+    if t == "null":
+        return B.NullBSDF()
+    raise ValueError(f"unknown bsdf type {t!r}")
+
+
+# ---------------------------------------------------------------------------
+# load_dict
+# ---------------------------------------------------------------------------
+
+def load_dict(d):
+    """Build a Scene from a reference-style nested dict
+    (reference: xml.cpp load_dict + util.py cornell_box)."""
+    from ..integrators import make_integrator
+    from .media import parse_medium, parse_phase
+
+    var = current_variant()
+    d = dict(d)
+    d.pop("type", None)
+
+    named_bsdfs = {}      # id -> (index, instance)
+    bsdf_list = []
+    bsdf_paths = []       # (key, subpath) relative to instance; rewritten below
+    emitter_list = []
+    emitter_paths = []
+    media_list = []
+    media_names = {}
+    phase_list = []
+    sensor = None
+    film = None
+    spp = 16
+    integrator_spec = {"type": "path"}
+    tri_meshes = []
+    spheres = []
+    shape_records = []    # per shape: dict(bsdf=idx, emitter=idx, name=...)
+    param_paths = []      # final (key, full path tuple)
+
+    def register_bsdf(spec, name):
+        local_paths = []
+        inst = parse_bsdf(spec, name, local_paths)
+        idx = len(bsdf_list)
+        bsdf_list.append(inst)
+        for key, sub in local_paths:
+            param_paths.append((key, ("bsdfs", idx) + sub))
+        return idx
+
+    def resolve_bsdf(spec, shape_name):
+        if spec is None:
+            return register_bsdf({"type": "diffuse"}, f"{shape_name}.bsdf")
+        if spec.get("type") == "ref":
+            rid = spec["id"]
+            if rid not in named_bsdfs:
+                raise ValueError(f"unresolved bsdf ref {rid!r}")
+            return named_bsdfs[rid]
+        return register_bsdf(spec, f"{shape_name}.bsdf")
+
+    # pass 1: named top-level bsdfs (so refs resolve)
+    for name, spec in d.items():
+        if isinstance(spec, dict) and spec.get("type") in BSDF_TYPES:
+            named_bsdfs[name] = register_bsdf(spec, name)
+
+    # pass 2: media (named, may be referenced by shapes)
+    for name, spec in d.items():
+        if isinstance(spec, dict) and spec.get("type") in MEDIUM_TYPES:
+            idx = len(media_list)
+            med = parse_medium(spec, name, phase_list, param_paths, idx)
+            media_list.append(med)
+            media_names[name] = idx
+
+    # pass 3: everything else
+    shape_emitter_specs = []   # (shape_index, radiance_spec, shape_name)
+    for name, spec in d.items():
+        if not isinstance(spec, dict):
+            continue
+        t = spec.get("type")
+        if t in BSDF_TYPES or t in MEDIUM_TYPES:
+            continue
+        if t == "integrator" or t in INTEGRATOR_TYPES:
+            integrator_spec = spec
+        elif t in SENSOR_TYPES:
+            sensor, film, spp = parse_sensor(spec)
+        elif t in EMITTER_TYPES:
+            emitter_list.append(("env" if t in ("constant", "envmap") else "delta", name, spec))
+        elif t in SHAPE_TYPES:
+            shape_index = len(shape_records)
+            to_world = build_transform(spec.get("to_world", Transform.identity()))
+            if t == "rectangle":
+                m = SH.make_rectangle(to_world)
+                m["shape_index"] = shape_index
+                tri_meshes.append(m)
+            elif t == "cube":
+                m = SH.make_cube(to_world)
+                m["shape_index"] = shape_index
+                tri_meshes.append(m)
+            elif t == "obj":
+                m = SH.load_obj(spec["filename"], to_world)
+                m["shape_index"] = shape_index
+                tri_meshes.append(m)
+            elif t == "sphere":
+                c = np.asarray(spec.get("center", [0, 0, 0]), np.float32)
+                r = float(spec.get("radius", 1.0))
+                mm = np.asarray(to_world.m)
+                c = mm[:3, :3] @ c + mm[:3, 3]
+                scale = float(np.cbrt(abs(np.linalg.det(mm[:3, :3]))))
+                spheres.append(
+                    {"center": c, "radius": r * scale, "shape_index": shape_index}
+                )
+            elif t == "disk":
+                # approximate as a triangle fan (analytic disk later)
+                k = 64
+                ang = np.linspace(0, 2 * np.pi, k, endpoint=False)
+                V = np.concatenate(
+                    [np.zeros((1, 3), np.float32),
+                     np.stack([np.cos(ang), np.sin(ang), np.zeros(k)], -1).astype(np.float32)]
+                )
+                F = np.stack(
+                    [np.zeros(k, np.int32), np.arange(1, k + 1, dtype=np.int32),
+                     np.roll(np.arange(1, k + 1, dtype=np.int32), -1)], -1
+                )
+                mm = np.asarray(to_world.m)
+                Vw = (mm[:3, :3] @ V.T + mm[:3, 3:4]).T
+                tri_meshes.append(
+                    {"vertices": Vw.astype(np.float32), "faces": F, "shape_index": shape_index}
+                )
+            rec = {
+                "name": name,
+                "bsdf": resolve_bsdf(spec.get("bsdf"), name),
+                "emitter": -1,
+                "interior": media_names.get(_medium_ref(spec.get("interior")), -1),
+                "exterior": media_names.get(_medium_ref(spec.get("exterior")), -1),
+            }
+            if "emitter" in spec:
+                shape_emitter_specs.append((shape_index, spec["emitter"], name))
+            shape_records.append(rec)
+        elif t == "sampler":
+            spp = int(spec.get("sample_count", spp))
+
+    if sensor is None:
+        sensor = SEN.PerspectiveCamera(
+            to_world_m=Transform.identity().m,
+            tan_half_fov_x=jnp.asarray(np.tan(np.deg2rad(45.0 / 2)), jnp.float32),
+            aspect=1.0,
+        )
+        film = Film(width=64, height=64)
+
+    geometry = SH.build_geometry(tri_meshes, spheres)
+
+    # bbox from geometry
+    pts = [np.asarray(geometry.tri_v0), np.asarray(geometry.tri_v0 + geometry.tri_e1),
+           np.asarray(geometry.tri_v0 + geometry.tri_e2)]
+    allp = np.concatenate(pts, 0)
+    valid_tris = np.asarray(geometry.tri_shape) >= 0
+    vmask = np.concatenate([valid_tris] * 3)
+    if vmask.any():
+        bbox_min = allp[vmask].min(0)
+        bbox_max = allp[vmask].max(0)
+    else:
+        bbox_min = np.full(3, -1.0, np.float32)
+        bbox_max = np.full(3, 1.0, np.float32)
+    if spheres:
+        sc = np.stack([s["center"] for s in spheres])
+        sr = np.asarray([s["radius"] for s in spheres])
+        bbox_min = np.minimum(bbox_min, (sc - sr[:, None]).min(0))
+        bbox_max = np.maximum(bbox_max, (sc + sr[:, None]).max(0))
+    radius = 0.5 * float(np.linalg.norm(bbox_max - bbox_min)) or 1.0
+
+    # area emitters: build per-emitter triangle CDFs
+    emitters = []
+    env_emitter = -1
+    tri_shape_np = np.asarray(geometry.tri_shape)
+    tri_e1_np = np.asarray(geometry.tri_e1)
+    tri_e2_np = np.asarray(geometry.tri_e2)
+    for shape_index, em_spec, shape_name in shape_emitter_specs:
+        tex, leaf = parse_texture(em_spec.get("radiance", 1.0))
+        tri_idx = np.nonzero(tri_shape_np == shape_index)[0].astype(np.int32)
+        areas = 0.5 * np.linalg.norm(
+            np.cross(tri_e1_np[tri_idx], tri_e2_np[tri_idx]), axis=-1
+        )
+        cdf = np.cumsum(areas).astype(np.float32)
+        e_idx = len(emitters)
+        emitters.append(
+            E.AreaEmitter(
+                radiance=tex, shape_index=shape_index,
+                tri_index=jnp.asarray(tri_idx), tri_cdf=jnp.asarray(cdf),
+                total_area=jnp.asarray(cdf[-1] if len(cdf) else 0.0, jnp.float32),
+            )
+        )
+        param_paths.append(
+            (f"{shape_name}.emitter.radiance.{leaf}", ("emitters", e_idx, "radiance", leaf))
+        )
+        shape_records[shape_index]["emitter"] = e_idx
+
+    for kind, name, spec in emitter_list:
+        t = spec["type"]
+        e_idx = len(emitters)
+        if t == "constant":
+            tex, leaf = parse_texture(spec.get("radiance", 1.0))
+            emitters.append(
+                E.ConstantEmitter(radiance=tex, scene_radius=jnp.asarray(radius, jnp.float32))
+            )
+            env_emitter = e_idx
+            param_paths.append((f"{name}.radiance.{leaf}", ("emitters", e_idx, "radiance", leaf)))
+        elif t == "envmap":
+            if "data" in spec:
+                data = np.asarray(spec["data"], np.float32)
+            else:
+                data = _load_image(spec["filename"]).astype(np.float32)
+            row_cdf, cond_cdf = E.build_envmap_tables(data, 1.0)
+            rot = np.asarray(build_transform(spec.get("to_world", Transform.identity())).m)[:3, :3]
+            emitters.append(
+                E.EnvmapEmitter(
+                    data=jnp.asarray(data), row_cdf=row_cdf, cond_cdf=cond_cdf,
+                    scale=jnp.asarray(float(spec.get("scale", 1.0)), jnp.float32),
+                    scene_radius=jnp.asarray(radius, jnp.float32),
+                    to_world_rot=jnp.asarray(rot, jnp.float32),
+                )
+            )
+            env_emitter = e_idx
+            param_paths.append((f"{name}.data", ("emitters", e_idx, "data")))
+        elif t == "point":
+            tex, leaf = parse_texture(spec.get("intensity", 1.0))
+            pos = spec.get("position", [0, 0, 0])
+            if "to_world" in spec:
+                m = np.asarray(build_transform(spec["to_world"]).m)
+                pos = m[:3, 3]
+            emitters.append(
+                E.PointEmitter(intensity=tex, position=jnp.asarray(pos, jnp.float32))
+            )
+            param_paths.append((f"{name}.intensity.{leaf}", ("emitters", e_idx, "intensity", leaf)))
+        elif t == "directional":
+            tex, leaf = parse_texture(spec.get("irradiance", 1.0))
+            dirn = np.asarray(spec.get("direction", [0, 0, -1]), np.float32)
+            emitters.append(
+                E.DirectionalEmitter(
+                    irradiance=tex,
+                    direction=jnp.asarray(dirn / np.linalg.norm(dirn)),
+                    scene_radius=jnp.asarray(radius, jnp.float32),
+                )
+            )
+            param_paths.append((f"{name}.irradiance.{leaf}", ("emitters", e_idx, "irradiance", leaf)))
+        elif t == "spot":
+            tex, leaf = parse_texture(spec.get("intensity", 1.0))
+            m = np.asarray(build_transform(spec.get("to_world", Transform.identity())).m)
+            cutoff = np.deg2rad(float(spec.get("cutoff_angle", 20.0)))
+            beam = np.deg2rad(float(spec.get("beam_width", cutoff * 0.75)))
+            emitters.append(
+                E.SpotEmitter(
+                    intensity=tex, position=jnp.asarray(m[:3, 3], jnp.float32),
+                    direction=jnp.asarray(m[:3, 2], jnp.float32),
+                    cos_cutoff=jnp.asarray(np.cos(cutoff), jnp.float32),
+                    cos_beam_width=jnp.asarray(np.cos(beam), jnp.float32),
+                )
+            )
+            param_paths.append((f"{name}.intensity.{leaf}", ("emitters", e_idx, "intensity", leaf)))
+
+    n_shapes = max(len(shape_records), 1)
+    shape_bsdf = np.zeros(n_shapes, np.int32)
+    shape_emitter = np.full(n_shapes, -1, np.int32)
+    shape_int_med = np.full(n_shapes, -1, np.int32)
+    shape_ext_med = np.full(n_shapes, -1, np.int32)
+    for i, rec in enumerate(shape_records):
+        shape_bsdf[i] = rec["bsdf"]
+        shape_emitter[i] = rec["emitter"]
+        shape_int_med[i] = rec["interior"]
+        shape_ext_med[i] = rec["exterior"]
+
+    if not bsdf_list:
+        bsdf_list.append(B.DiffuseBSDF(reflectance=TX.ConstantTexture(value=jnp.asarray([0.5], jnp.float32))))
+
+    integrator = make_integrator(integrator_spec)
+
+    scene = Scene(
+        geometry=geometry,
+        bsdfs=tuple(bsdf_list),
+        emitters=tuple(emitters),
+        sensors=(sensor,),
+        media=tuple(media_list),
+        phases=tuple(phase_list),
+        integrator=integrator,
+        film=film,
+        shape_bsdf=jnp.asarray(shape_bsdf),
+        shape_emitter=jnp.asarray(shape_emitter),
+        shape_interior_medium=jnp.asarray(shape_int_med),
+        shape_exterior_medium=jnp.asarray(shape_ext_med),
+        bbox_min=jnp.asarray(bbox_min, jnp.float32),
+        bbox_max=jnp.asarray(bbox_max, jnp.float32),
+        spp=spp,
+        env_emitter=env_emitter,
+        n_channels=var.n_channels,
+        polarized=var.polarized,
+        param_paths=tuple(param_paths),
+    )
+    return scene
+
+
+def _medium_ref(spec):
+    if isinstance(spec, dict) and spec.get("type") == "ref":
+        return spec["id"]
+    return None
+
+
+def parse_sensor(spec):
+    t = spec["type"]
+    film_spec = spec.get("film", {})
+    w = int(film_spec.get("width", 768))
+    h = int(film_spec.get("height", 576))
+    rfilter = film_spec.get("rfilter", {"type": "gaussian"})
+    rf_type = rfilter["type"] if isinstance(rfilter, dict) else str(rfilter)
+    film = Film(width=w, height=h, rfilter=rf_type)
+    spp = int(spec.get("sampler", {}).get("sample_count", 16))
+    to_world = build_transform(spec.get("to_world", Transform.identity()))
+    aspect = w / h
+
+    if t in ("perspective", "thinlens"):
+        fov = float(spec.get("fov", 45.0))
+        fov_axis = spec.get("fov_axis", "x")
+        tan_half = np.tan(np.deg2rad(fov) / 2)
+        # convert the named-axis fov to the x-axis fov we store
+        # (reference: src/render/sensor.cpp parse_fov); tan_y = tan_x / aspect
+        if fov_axis == "y" or (fov_axis == "smaller" and aspect >= 1.0) or (
+            fov_axis == "larger" and aspect < 1.0
+        ):
+            tan_half = tan_half * aspect
+        if t == "perspective":
+            cam = SEN.PerspectiveCamera(
+                to_world_m=to_world.m,
+                tan_half_fov_x=jnp.asarray(tan_half, jnp.float32),
+                aspect=aspect,
+            )
+        else:
+            cam = SEN.ThinLensCamera(
+                to_world_m=to_world.m,
+                tan_half_fov_x=jnp.asarray(tan_half, jnp.float32),
+                aperture_radius=jnp.asarray(float(spec.get("aperture_radius", 0.1)), jnp.float32),
+                focus_distance=jnp.asarray(float(spec.get("focus_distance", 1.0)), jnp.float32),
+                aspect=aspect,
+            )
+    elif t == "orthographic":
+        cam = SEN.OrthographicCamera(to_world_m=to_world.m, aspect=aspect)
+    elif t == "radiancemeter":
+        wl = float(spec.get("wavelength", -1.0))
+        cam = SEN.RadiancemeterSensor(
+            to_world_m=to_world.m, wavelength=jnp.asarray(wl, jnp.float32), aspect=aspect
+        )
+    elif t == "irradiancemeter":
+        cam = SEN.IrradiancemeterSensor(to_world_m=to_world.m, aspect=aspect)
+    elif t == "distant":
+        dirn = np.asarray(spec.get("direction", [0, 0, -1]), np.float32)
+        target = spec.get("target")
+        wl = float(spec.get("wavelength", -1.0))
+        cam = SEN.DistantSensor(
+            direction=jnp.asarray(dirn / np.linalg.norm(dirn)),
+            target=jnp.asarray(target if target is not None else [0, 0, 0], jnp.float32),
+            scene_center=jnp.zeros(3, jnp.float32),
+            scene_radius=jnp.asarray(1.0, jnp.float32),
+            wavelength=jnp.asarray(wl, jnp.float32),
+            has_target=target is not None,
+        )
+    else:
+        raise ValueError(f"unknown sensor type {t!r}")
+    return cam, film, spp
+
+
+def load_file(path, **defaults):
+    raise NotImplementedError(
+        "XML scene loading lands with the IO subsystem; use load_dict"
+    )
+
+
+def cornell_box():
+    """The canonical Cornell box scene dict
+    (mirrors mi.cornell_box, reference: util.py:757-891)."""
+    return {
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 8},
+        "sensor": {
+            "type": "perspective",
+            "fov_axis": "smaller",
+            "near_clip": 0.001,
+            "far_clip": 100.0,
+            "focus_distance": 1000,
+            "fov": 39.3077,
+            "to_world": [
+                {"type": "look_at", "origin": [0, 0, 3.90], "target": [0, 0, 0], "up": [0, 1, 0]}
+            ],
+            "sampler": {"type": "independent", "sample_count": 64},
+            "film": {
+                "type": "hdrfilm",
+                "width": 256,
+                "height": 256,
+                "rfilter": {"type": "gaussian"},
+                "pixel_format": "rgb",
+                "component_format": "float32",
+            },
+        },
+        "white": {"type": "diffuse", "reflectance": {"type": "rgb", "value": [0.885809, 0.698859, 0.666422]}},
+        "green": {"type": "diffuse", "reflectance": {"type": "rgb", "value": [0.105421, 0.37798, 0.076425]}},
+        "red": {"type": "diffuse", "reflectance": {"type": "rgb", "value": [0.570068, 0.0430135, 0.0443706]}},
+        "light": {
+            "type": "rectangle",
+            "to_world": [
+                {"type": "scale", "value": [0.23, 0.19, 0.19]},
+                {"type": "rotate", "axis": [1, 0, 0], "angle": 90},
+                {"type": "translate", "value": [0.0, 0.99, 0.01]},
+            ],
+            "bsdf": {"type": "ref", "id": "white"},
+            "emitter": {"type": "area", "radiance": {"type": "rgb", "value": [18.387, 13.9873, 6.75357]}},
+        },
+        "floor": {
+            "type": "rectangle",
+            "to_world": [
+                {"type": "rotate", "axis": [1, 0, 0], "angle": -90},
+                {"type": "translate", "value": [0.0, -1.0, 0.0]},
+            ],
+            "bsdf": {"type": "ref", "id": "white"},
+        },
+        "ceiling": {
+            "type": "rectangle",
+            "to_world": [
+                {"type": "rotate", "axis": [1, 0, 0], "angle": 90},
+                {"type": "translate", "value": [0.0, 1.0, 0.0]},
+            ],
+            "bsdf": {"type": "ref", "id": "white"},
+        },
+        "back": {
+            "type": "rectangle",
+            "to_world": [{"type": "translate", "value": [0.0, 0.0, -1.0]}],
+            "bsdf": {"type": "ref", "id": "white"},
+        },
+        "green-wall": {
+            "type": "rectangle",
+            "to_world": [
+                {"type": "rotate", "axis": [0, 1, 0], "angle": -90},
+                {"type": "translate", "value": [1.0, 0.0, 0.0]},
+            ],
+            "bsdf": {"type": "ref", "id": "green"},
+        },
+        "red-wall": {
+            "type": "rectangle",
+            "to_world": [
+                {"type": "rotate", "axis": [0, 1, 0], "angle": 90},
+                {"type": "translate", "value": [-1.0, 0.0, 0.0]},
+            ],
+            "bsdf": {"type": "ref", "id": "red"},
+        },
+        "small-box": {
+            "type": "cube",
+            "to_world": [
+                {"type": "scale", "value": 0.3},
+                {"type": "rotate", "axis": [0, 1, 0], "angle": -17},
+                {"type": "translate", "value": [0.335, -0.7, 0.38]},
+            ],
+            "bsdf": {"type": "ref", "id": "white"},
+        },
+        "large-box": {
+            "type": "cube",
+            "to_world": [
+                {"type": "scale", "value": [0.3, 0.61, 0.3]},
+                {"type": "rotate", "axis": [0, 1, 0], "angle": 18.25},
+                {"type": "translate", "value": [-0.33, -0.4, -0.28]},
+            ],
+            "bsdf": {"type": "ref", "id": "white"},
+        },
+    }

@@ -1,0 +1,364 @@
+"""Shape geometry: host-side build + device intersection kernels.
+
+TPU-native replacement for the reference's Shape/Mesh + 3 ray-tracing backends
+(reference: src/render/scene_embree.inl, kdtree.h, scene_optix.inl;
+src/shapes/{rectangle,cube,sphere,obj,ply}.cpp).
+
+Design: all shapes in a scene are compiled into two dense SoA primitive
+tables — triangles (rect=2 tris, cube=12, meshes as-is) and analytic spheres.
+Intersection is a chunked scan over primitives with a running closest-hit
+reduction: dense, branch-free, bounded-memory — the right shape for the VPU
+at the primitive counts of the acceptance scenes.  A Pallas BVH kernel slots
+in behind the same interface for large meshes (mitsuba_tpu/ops).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..core.frame import cross, dot, normalize, coordinate_system
+from ..core.math import RAY_EPSILON
+from .records import PreliminaryIntersection, Ray, SurfaceInteraction
+
+TRI_CHUNK = 64
+
+
+@struct.dataclass
+class Geometry:
+    """Flattened scene geometry.  Primitive ids: [0, n_tris) are triangles,
+    [n_tris, n_tris + n_spheres) are spheres."""
+
+    tri_v0: jnp.ndarray      # [T, 3]
+    tri_e1: jnp.ndarray      # [T, 3] v1 - v0
+    tri_e2: jnp.ndarray      # [T, 3] v2 - v0
+    tri_ng: jnp.ndarray      # [T, 3] unit geometric normal
+    tri_vn: jnp.ndarray      # [T, 3, 3] per-vertex shading normals
+    tri_uv: jnp.ndarray      # [T, 3, 2] per-vertex uv
+    tri_shape: jnp.ndarray   # [T] int32
+    sph_center: jnp.ndarray  # [S, 3]
+    sph_radius: jnp.ndarray  # [S]
+    sph_shape: jnp.ndarray   # [S] int32
+    n_tris: int = struct.field(pytree_node=False)
+    n_spheres: int = struct.field(pytree_node=False)
+    has_vertex_normals: bool = struct.field(pytree_node=False)
+
+
+def build_geometry(tri_meshes, spheres):
+    """Host-side geometry compile.
+
+    tri_meshes: list of dicts {vertices [V,3], faces [F,3], shape_index,
+                normals (opt) [V,3], uvs (opt) [V,2]}
+    spheres: list of dicts {center, radius, shape_index}
+    """
+    v0s, e1s, e2s, ngs, vns, uvs, sids = [], [], [], [], [], [], []
+    any_vn = False
+    for m in tri_meshes:
+        V = np.asarray(m["vertices"], np.float32)
+        F = np.asarray(m["faces"], np.int32)
+        p0, p1, p2 = V[F[:, 0]], V[F[:, 1]], V[F[:, 2]]
+        e1, e2 = p1 - p0, p2 - p0
+        ng = np.cross(e1, e2)
+        area2 = np.linalg.norm(ng, axis=-1, keepdims=True)
+        ng = ng / np.maximum(area2, 1e-20)
+        v0s.append(p0)
+        e1s.append(e1)
+        e2s.append(e2)
+        ngs.append(ng)
+        if m.get("normals") is not None:
+            N = np.asarray(m["normals"], np.float32)
+            vns.append(np.stack([N[F[:, 0]], N[F[:, 1]], N[F[:, 2]]], axis=1))
+            any_vn = True
+        else:
+            vns.append(np.repeat(ng[:, None, :], 3, axis=1))
+        if m.get("uvs") is not None:
+            U = np.asarray(m["uvs"], np.float32)
+            uvs.append(np.stack([U[F[:, 0]], U[F[:, 1]], U[F[:, 2]]], axis=1))
+        else:
+            default_uv = np.array([[0, 0], [1, 0], [1, 1]], np.float32)
+            uvs.append(np.tile(default_uv[None], (F.shape[0], 1, 1)))
+        sids.append(np.full((F.shape[0],), m["shape_index"], np.int32))
+
+    def cat(lst, empty_shape):
+        if lst:
+            return np.concatenate(lst, axis=0)
+        return np.zeros(empty_shape, np.float32)
+
+    T = sum(x.shape[0] for x in v0s) if v0s else 0
+    # pad to a chunk multiple with degenerate triangles (e1=e2=0 -> det=0, no hit)
+    T_pad = max(((T + TRI_CHUNK - 1) // TRI_CHUNK) * TRI_CHUNK, TRI_CHUNK)
+
+    def pad(x, total, fill=0.0):
+        pad_n = total - x.shape[0]
+        if pad_n <= 0:
+            return x
+        return np.concatenate(
+            [x, np.full((pad_n,) + x.shape[1:], fill, x.dtype)], axis=0
+        )
+
+    tri_v0 = pad(cat(v0s, (0, 3)), T_pad)
+    tri_e1 = pad(cat(e1s, (0, 3)), T_pad)
+    tri_e2 = pad(cat(e2s, (0, 3)), T_pad)
+    tri_ng = pad(cat(ngs, (0, 3)), T_pad)
+    tri_vn = pad(cat(vns, (0, 3, 3)), T_pad)
+    tri_uv = pad(cat(uvs, (0, 3, 2)), T_pad)
+    tri_shape = pad(
+        np.concatenate(sids, axis=0) if sids else np.zeros((0,), np.int32), T_pad, -1
+    ).astype(np.int32)
+
+    S = len(spheres)
+    sph_center = np.asarray([s["center"] for s in spheres], np.float32).reshape(S, 3) if S else np.zeros((1, 3), np.float32)
+    sph_radius = np.asarray([s["radius"] for s in spheres], np.float32).reshape(S) if S else np.zeros((1,), np.float32)
+    sph_shape = np.asarray([s["shape_index"] for s in spheres], np.int32).reshape(S) if S else np.full((1,), -1, np.int32)
+
+    return Geometry(
+        tri_v0=jnp.asarray(tri_v0), tri_e1=jnp.asarray(tri_e1),
+        tri_e2=jnp.asarray(tri_e2), tri_ng=jnp.asarray(tri_ng),
+        tri_vn=jnp.asarray(tri_vn), tri_uv=jnp.asarray(tri_uv),
+        tri_shape=jnp.asarray(tri_shape),
+        sph_center=jnp.asarray(sph_center), sph_radius=jnp.asarray(sph_radius),
+        sph_shape=jnp.asarray(sph_shape),
+        n_tris=T_pad, n_spheres=S, has_vertex_normals=any_vn,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Intersection
+# ---------------------------------------------------------------------------
+
+def _intersect_tri_chunk(o, d, v0, e1, e2):
+    """Moller-Trumbore, rays [N,3] x tris [CH,3] -> t,u,v,hit [N,CH]."""
+    d_b = d[:, None, :]
+    pvec = cross(d_b, e2[None, :, :])                    # [N,CH,3]
+    det = jnp.sum(e1[None] * pvec, axis=-1)               # [N,CH]
+    tvec = o[:, None, :] - v0[None]
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = cross(tvec, e1[None])
+    v = jnp.sum(d_b * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2[None] * qvec, axis=-1) * inv_det
+    hit = (
+        (jnp.abs(det) > 1e-12)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > 0.0)
+    )
+    return t, u, v, hit
+
+
+def ray_intersect_preliminary(geom: Geometry, ray: Ray, active=None):
+    """Closest-hit query (reference: Scene::ray_intersect_preliminary,
+    src/render/scene.cpp:181-199).  Chunked scan over the triangle table keeps
+    the live intermediate at [N, TRI_CHUNK]."""
+    N = ray.o.shape[0]
+    if active is None:
+        active = jnp.ones((N,), bool)
+
+    best_t = jnp.where(active, ray.maxt, -jnp.inf)  # inactive: reject all hits
+    best_prim = jnp.full((N,), -1, jnp.int32)
+    best_uv = jnp.zeros((N, 2), jnp.float32)
+
+    n_chunks = geom.n_tris // TRI_CHUNK
+    v0 = geom.tri_v0.reshape(n_chunks, TRI_CHUNK, 3)
+    e1 = geom.tri_e1.reshape(n_chunks, TRI_CHUNK, 3)
+    e2 = geom.tri_e2.reshape(n_chunks, TRI_CHUNK, 3)
+
+    def body(carry, chunk):
+        bt, bp, buv = carry
+        cv0, ce1, ce2, base = chunk
+        t, u, v, hit = _intersect_tri_chunk(ray.o, ray.d, cv0, ce1, ce2)
+        t = jnp.where(hit, t, jnp.inf)
+        j = jnp.argmin(t, axis=-1)                       # [N]
+        tj = jnp.take_along_axis(t, j[:, None], axis=-1)[:, 0]
+        closer = tj < bt
+        bt = jnp.where(closer, tj, bt)
+        bp = jnp.where(closer, base + j.astype(jnp.int32), bp)
+        uj = jnp.take_along_axis(u, j[:, None], axis=-1)[:, 0]
+        vj = jnp.take_along_axis(v, j[:, None], axis=-1)[:, 0]
+        buv = jnp.where(closer[:, None], jnp.stack([uj, vj], axis=-1), buv)
+        return (bt, bp, buv), None
+
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * TRI_CHUNK
+    (best_t, best_prim, best_uv), _ = jax.lax.scan(
+        body, (best_t, best_prim, best_uv), (v0, e1, e2, bases)
+    )
+
+    if geom.n_spheres > 0:
+        # sphere quadratic: ||o + t d - c||^2 = r^2
+        oc = ray.o[:, None, :] - geom.sph_center[None]        # [N,S,3]
+        b = jnp.sum(oc * ray.d[:, None, :], axis=-1)          # [N,S]
+        c = jnp.sum(oc * oc, axis=-1) - geom.sph_radius[None] ** 2
+        disc = b * b - c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t0 = -b - sq
+        t1 = -b + sq
+        t_s = jnp.where(t0 > 0.0, t0, t1)
+        hit = (disc >= 0.0) & (t_s > 0.0)
+        t_s = jnp.where(hit, t_s, jnp.inf)
+        j = jnp.argmin(t_s, axis=-1)
+        tj = jnp.take_along_axis(t_s, j[:, None], axis=-1)[:, 0]
+        closer = tj < best_t
+        best_t = jnp.where(closer, tj, best_t)
+        best_prim = jnp.where(closer, geom.n_tris + j.astype(jnp.int32), best_prim)
+
+    found = best_prim >= 0
+    t_out = jnp.where(found, best_t, jnp.inf)
+    return PreliminaryIntersection(t=t_out, prim_index=best_prim, prim_uv=best_uv)
+
+
+def ray_test(geom: Geometry, ray: Ray, active=None):
+    """Shadow/occlusion query (reference: Scene::ray_test)."""
+    pi = ray_intersect_preliminary(geom, ray, active)
+    return pi.is_valid
+
+
+def compute_surface_interaction(geom: Geometry, ray: Ray, pi: PreliminaryIntersection):
+    """Shading-frame computation after the closest-hit reduction
+    (reference: Shape::compute_surface_interaction)."""
+    N = ray.o.shape[0]
+    valid = pi.is_valid
+    prim = jnp.maximum(pi.prim_index, 0)
+    is_tri = prim < geom.n_tris
+    tprim = jnp.clip(prim, 0, geom.n_tris - 1)
+
+    t = jnp.where(valid, pi.t, jnp.inf)
+    p = ray.at(jnp.where(valid, pi.t, 0.0))
+
+    # triangle attributes
+    u = pi.prim_uv[:, 0]
+    v = pi.prim_uv[:, 1]
+    w = 1.0 - u - v
+    ng_t = geom.tri_ng[tprim]
+    vn = geom.tri_vn[tprim]                  # [N,3,3]
+    sh_n_t = normalize(
+        w[:, None] * vn[:, 0] + u[:, None] * vn[:, 1] + v[:, None] * vn[:, 2]
+    ) if geom.has_vertex_normals else ng_t
+    uv_t = (
+        w[:, None] * geom.tri_uv[tprim, 0]
+        + u[:, None] * geom.tri_uv[tprim, 1]
+        + v[:, None] * geom.tri_uv[tprim, 2]
+    )
+    shape_t = geom.tri_shape[tprim]
+
+    # sphere attributes
+    sprim = jnp.clip(prim - geom.n_tris, 0, max(geom.n_spheres - 1, 0))
+    center = geom.sph_center[sprim]
+    ng_s = normalize(p - center)
+    theta = jnp.arccos(jnp.clip(ng_s[:, 2], -1.0, 1.0))
+    phi = jnp.arctan2(ng_s[:, 1], ng_s[:, 0])
+    uv_s = jnp.stack(
+        [phi / (2 * jnp.pi) + 0.5, theta / jnp.pi], axis=-1
+    )
+    shape_s = geom.sph_shape[sprim]
+
+    ng = jnp.where(is_tri[:, None], ng_t, ng_s)
+    sh_n = jnp.where(is_tri[:, None], sh_n_t, ng_s)
+    uv = jnp.where(is_tri[:, None], uv_t, uv_s)
+    shape_index = jnp.where(is_tri, shape_t, shape_s)
+
+    # orient geometric normal to the same hemisphere as shading normal
+    ng = jnp.where(dot(ng, sh_n, keepdims=True) < 0.0, -ng, ng)
+
+    sh_s, sh_t = coordinate_system(sh_n)
+    wi_world = -ray.d
+    wi_local = jnp.stack(
+        [dot(wi_world, sh_s), dot(wi_world, sh_t), dot(wi_world, sh_n)], axis=-1
+    )
+
+    shape_index = jnp.where(valid, shape_index, -1)
+    return SurfaceInteraction(
+        t=t, p=p, n=ng, sh_n=sh_n, sh_s=sh_s, sh_t=sh_t, uv=uv,
+        wi=wi_local, shape_index=shape_index,
+        prim_index=jnp.where(valid, pi.prim_index, -1),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host-side shape builders (reference: src/shapes/{rectangle,cube,sphere}.cpp)
+# ---------------------------------------------------------------------------
+
+def make_rectangle(to_world):
+    """Unit rectangle [-1,1]^2 in the z=0 plane -> 2 triangles
+    (reference: src/shapes/rectangle.cpp)."""
+    V = np.array(
+        [[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]], np.float32
+    )
+    F = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    UV = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    Vw = np.asarray(to_world.m)[:3, :3] @ V.T
+    Vw = (Vw + np.asarray(to_world.m)[:3, 3:4]).T
+    return {"vertices": Vw.astype(np.float32), "faces": F, "uvs": UV}
+
+
+def make_cube(to_world):
+    """Unit cube [-1,1]^3 -> 12 triangles (reference: src/shapes/cube.cpp)."""
+    faces6 = []
+    verts = []
+    uvs = []
+    idx = 0
+    axes = [
+        (np.array([0, 0, -1.0]),),
+        (np.array([0, 0, 1.0]),),
+        (np.array([0, -1.0, 0]),),
+        (np.array([0, 1.0, 0]),),
+        (np.array([-1.0, 0, 0]),),
+        (np.array([1.0, 0, 0]),),
+    ]
+    for (n,) in axes:
+        # build a face with outward normal n
+        a = np.array([1.0, 0, 0]) if abs(n[0]) < 0.9 else np.array([0, 1.0, 0])
+        u = np.cross(n, a)
+        u /= np.linalg.norm(u)
+        v = np.cross(n, u)
+        corners = [n + (-u - v), n + (u - v), n + (u + v), n + (-u + v)]
+        # ensure winding gives outward normal
+        c = np.stack(corners)
+        wind_n = np.cross(c[1] - c[0], c[2] - c[0])
+        if np.dot(wind_n, n) < 0:
+            c = c[::-1]
+        verts.append(c)
+        uvs.append(np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32))
+        faces6.append(np.array([[idx, idx + 1, idx + 2], [idx, idx + 2, idx + 3]]))
+        idx += 4
+    V = np.concatenate(verts).astype(np.float32)
+    F = np.concatenate(faces6).astype(np.int32)
+    UV = np.concatenate(uvs).astype(np.float32)
+    Vw = (np.asarray(to_world.m)[:3, :3] @ V.T + np.asarray(to_world.m)[:3, 3:4]).T
+    return {"vertices": Vw.astype(np.float32), "faces": F, "uvs": UV}
+
+
+def load_obj(path, to_world, flip_tex_coords=True):
+    """Minimal Wavefront OBJ loader (reference: src/shapes/obj.cpp)."""
+    vs, vns, vts, faces = [], [], [], []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "v":
+                vs.append([float(x) for x in parts[1:4]])
+            elif parts[0] == "vn":
+                vns.append([float(x) for x in parts[1:4]])
+            elif parts[0] == "vt":
+                vts.append([float(x) for x in parts[1:3]])
+            elif parts[0] == "f":
+                ids = [p.split("/")[0] for p in parts[1:]]
+                ids = [int(i) - 1 if int(i) > 0 else len(vs) + int(i) for i in ids]
+                for k in range(1, len(ids) - 1):  # fan-triangulate
+                    faces.append([ids[0], ids[k], ids[k + 1]])
+    V = np.asarray(vs, np.float32)
+    F = np.asarray(faces, np.int32)
+    Vw = (np.asarray(to_world.m)[:3, :3] @ V.T + np.asarray(to_world.m)[:3, 3:4]).T
+    out = {"vertices": Vw.astype(np.float32), "faces": F}
+    if vns and len(vns) == len(vs):
+        Nw = (np.asarray(to_world.inv)[:3, :3].T @ np.asarray(vns, np.float32).T).T
+        Nw /= np.maximum(np.linalg.norm(Nw, axis=-1, keepdims=True), 1e-12)
+        out["normals"] = Nw.astype(np.float32)
+    if vts and len(vts) == len(vs):
+        UV = np.asarray(vts, np.float32)
+        if flip_tex_coords:
+            UV[:, 1] = 1.0 - UV[:, 1]
+        out["uvs"] = UV
+    return out

@@ -1,0 +1,136 @@
+"""Top-level render entry points (reference: mi.render / mi.render_1 /
+mi.render_test, src/python/python/util.py:356-718 and
+SamplingIntegrator::render, src/render/integrator.cpp:150-397).
+
+Wavefront architecture: one jitted pass renders W*H*spp_pass lanes in
+pixel-major SoA layout; spp is split into passes to bound HBM (the analog of
+the reference's multi-pass wavefront split, integrator.cpp:277-295).  Lane RNG
+streams are keyed by the *global* sample index so results are independent of
+the pass partitioning and replay identically in PRB backward passes.
+
+Differentiation: render() is differentiable w.r.t. scene parameters via
+jax.grad through the pass (tape-based, small scenes) or the PRB custom-vjp
+integrators in mitsuba_tpu.ad (constant-memory replay).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .core import spectrum as spec
+from .core.rng import RNG
+from .render.film import develop, sample_filter_offset
+
+
+def _pass_lanes(film, spp_pass):
+    return film.width * film.height * spp_pass
+
+
+def render_lanes(scene, seed, lane0, n, pass_base, spp_pass, spp_total, sensor_idx):
+    """Render lanes [lane0, lane0+n) of a wavefront pass.  The sharding unit:
+    each chip renders a contiguous lane chunk; RNG streams are keyed by the
+    *global* sample index so the result is partition-invariant."""
+    film = scene.film
+    sensor = scene.sensors[sensor_idx]
+
+    lane_local = jnp.uint32(lane0) + jnp.arange(n, dtype=jnp.uint32)
+    pix = lane_local // jnp.uint32(spp_pass)
+    s_local = lane_local % jnp.uint32(spp_pass)
+    global_sample = pix * jnp.uint32(spp_total) + jnp.uint32(pass_base) + s_local
+
+    rng = RNG(seed, global_sample)
+
+    # dims 0-1: film-plane jitter; 2-3: aperture; 4: wavelength
+    jx, jy, rng = rng.next_2d()
+    ax, ay, rng = rng.next_2d()
+    uw, _, rng = rng.next_2d()
+
+    jitter = sample_filter_offset(film.rfilter, jnp.stack([jx, jy], axis=-1))
+    px = (pix % jnp.uint32(film.width)).astype(jnp.float32)
+    py = (pix // jnp.uint32(film.width)).astype(jnp.float32)
+    pos = (jnp.stack([px, py], axis=-1) + jitter) / jnp.asarray(
+        [film.width, film.height], jnp.float32
+    )
+    ray = sensor.sample_ray(pos, jnp.stack([ax, ay], axis=-1))
+
+    wavelengths = None
+    wl_pdf = None
+    if scene.n_channels == 4:
+        fixed = getattr(sensor, "fixed_wavelength", None)
+        wavelengths = spec.sample_wavelengths_hero(uw, n=4)
+        wl_pdf = spec.pdf_uniform_wavelength(wavelengths)
+        if fixed is not None:
+            pinned = jnp.broadcast_to(fixed, wavelengths.shape)
+            use_pin = fixed > 0
+            wavelengths = jnp.where(use_pin, pinned, wavelengths)
+            wl_pdf = jnp.where(use_pin, 1.0, wl_pdf)
+
+    active = jnp.ones((n,), bool)
+    L, aux = scene.integrator.sample(scene, rng, ray, wavelengths, active)
+    return L, wavelengths, wl_pdf, aux
+
+
+@partial(jax.jit, static_argnames=("spp_pass", "spp_total", "sensor_idx"))
+def _render_pass(scene, seed, pass_base, spp_pass, spp_total, sensor_idx):
+    """One full wavefront pass over all pixels (single-chip entry)."""
+    n = _pass_lanes(scene.film, spp_pass)
+    return render_lanes(scene, seed, 0, n, pass_base, spp_pass, spp_total, sensor_idx)
+
+
+def render(scene, params=None, sensor=0, seed=0, spp=None, spp_per_pass=None):
+    """Render to an image tensor [H, W, C] (reference: mi.render,
+    util.py:512-626).  `params` accepts a SceneParameters whose scene is then
+    rendered (mirroring the reference's signature)."""
+    if params is not None and hasattr(params, "scene"):
+        scene = params.scene
+    film = scene.film
+    spp = spp or scene.spp
+    spp_per_pass = min(spp_per_pass or spp, spp)
+    n_passes = (spp + spp_per_pass - 1) // spp_per_pass
+
+    acc = None
+    for p in range(n_passes):
+        this_spp = min(spp_per_pass, spp - p * spp_per_pass)
+        L, wavelengths, wl_pdf, _ = _render_pass(
+            scene, jnp.uint32(seed), p * spp_per_pass, this_spp, spp, sensor
+        )
+        if scene.n_channels == 4 and wavelengths is not None:
+            # spectral -> XYZ -> linear sRGB per lane
+            xyz = spec.spectrum_to_xyz(L, wavelengths, wl_pdf)
+            L = jnp.clip(spec.xyz_to_srgb(xyz), 0.0, None)
+        img = develop(film, L, this_spp)
+        acc = img * this_spp if acc is None else acc + img * this_spp
+    return acc / spp
+
+
+def render_1(scene, params=None, sensor=0, seed=0, spp=None):
+    """Radiometer render: average *all* film samples into one spectrum
+    (fork addition; reference: mi.render_1, common.py:113-196 — '[4 Stokes] x
+    [N wavelengths]' point measurement).  Unpolarized variants return [C];
+    polarized return [S, C] Stokes."""
+    if params is not None and hasattr(params, "scene"):
+        scene = params.scene
+    spp = spp or scene.spp
+    L, wavelengths, wl_pdf, _ = _render_pass(scene, jnp.uint32(seed), 0, spp, spp, sensor)
+    if scene.polarized:
+        # L is [N, C, 4] Stokes in polarized integrators
+        return jnp.mean(L, axis=0).T  # [4, C] -> Stokes-major
+    return jnp.mean(L, axis=0)
+
+
+def render_test(scene, params=None, seed=0, spp=None, sensor_count=1):
+    """Multi-view batch render: split a wide film into sensor_count sub-views
+    of width film.height and average each (fork addition; reference:
+    mi.render_test, common.py:198-302)."""
+    if params is not None and hasattr(params, "scene"):
+        scene = params.scene
+    film = scene.film
+    spp = spp or scene.spp
+    L, wavelengths, wl_pdf, _ = _render_pass(scene, jnp.uint32(seed), 0, spp, spp, 0)
+    c = L.shape[-1]
+    img = L.reshape(film.height, film.width, spp, c)
+    sub_w = film.width // sensor_count
+    img = img.reshape(film.height, sensor_count, sub_w, spp, c)
+    return jnp.mean(img, axis=(0, 2, 3))  # [sensor_count, C]

@@ -1,0 +1,49 @@
+"""Test configuration: run the suite on a virtual 8-device CPU mesh so
+multi-chip sharding paths are exercised without TPU hardware
+(SURVEY.md §4: XLA_FLAGS=--xla_force_host_platform_device_count)."""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def variant_rgb():
+    import mitsuba_tpu as mi
+
+    mi.set_variant("rgb")
+    yield
+    mi.set_variant("rgb")
+
+
+@pytest.fixture
+def variant_mono():
+    import mitsuba_tpu as mi
+
+    mi.set_variant("mono")
+    yield
+    mi.set_variant("rgb")
+
+
+@pytest.fixture
+def variant_mono_polarized():
+    import mitsuba_tpu as mi
+
+    mi.set_variant("llvm_ad_mono_polarized")
+    yield
+    mi.set_variant("rgb")
+
+
+@pytest.fixture
+def variant_spectral():
+    import mitsuba_tpu as mi
+
+    mi.set_variant("spectral")
+    yield
+    mi.set_variant("rgb")
