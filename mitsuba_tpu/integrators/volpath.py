@@ -1,0 +1,405 @@
+"""Null-scattering volumetric path tracer with NEE + phase/BSDF MIS
+(reference: src/integrators/volpath.cpp, 475 LoC).
+
+Algorithm (the reference's dr::Loop structure, volpath.cpp:62-296, re-shaped
+for TPU cost structure): the reference takes one majorant-exponential step per
+loop iteration (Medium::sample_interaction, src/render/medium.cpp:40-86) and
+re-runs scene intersection every iteration — cheap in a fused megakernel,
+expensive for us because closest-hit is the dominant cost.  Since all media
+here have *constant majorants* (reference: heterogeneous.cpp:163 constant
+majorant = scale*max), the ray segment up to the next surface has a fixed
+tracking distribution, so we batch: one scene intersect per OUTER iteration,
+then an inner fori loop of delta-tracking steps (medium-coefficient gathers
+only) until a real collision or the segment ends.  Real-vs-null splits on
+sigma_t[channel]/majorant with hero-channel distance sampling
+(`index_spectrum`, reference: volpath.cpp:50-59).  NEE transmittance uses
+ratio tracking through null interfaces with the same batching
+(reference: volpath shadow loop / volpathaos.cpp:349-452).
+
+RNG draws are unconditional and fixed-order (outer + inner) so streams replay
+identically in PRB backward passes.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..render.records import MediumInteraction, Ray, spawn_ray
+from .path import mis_weight, _next2
+
+
+def sample_channel(u, n_channels):
+    """Hero-channel selection for distance sampling (volpath.cpp:93)."""
+    return jnp.clip((u * n_channels).astype(jnp.int32), 0, n_channels - 1)
+
+
+def index_spectrum(x, channel):
+    """x[..., channel] per lane (reference: volpath.cpp:50-59)."""
+    return jnp.take_along_axis(x, channel[..., None], axis=-1)[..., 0]
+
+
+def track_segment(scene, p0, d, seg_len, medium, channel, rng, active, n_steps):
+    """Delta-track one ray segment of length seg_len through `medium`
+    (constant majorant): inner loop, no scene intersection.
+
+    Returns (reached_end [N] bool, t_real [N], beta_factor [N,C], rng) where
+    lanes with reached_end=False stopped at a real collision at distance
+    t_real with accumulated null-collision weight beta_factor; lanes that
+    exhausted n_steps without resolving are treated as absorbed
+    (beta_factor=0) — headroom is chosen so this is negligible."""
+    n = p0.shape[0]
+    nc = scene.n_channels
+    in_medium = active & (medium >= 0)
+    maj = jnp.maximum(scene.medium_majorant(medium, p0), 1e-8)
+
+    state = dict(
+        t=jnp.zeros((n,), jnp.float32),
+        beta_f=jnp.ones((n, nc), jnp.float32),
+        pending=in_medium,                       # still tracking
+        is_real=jnp.zeros((n,), bool),
+        t_real=jnp.zeros((n,), jnp.float32),
+        rng=rng,
+    )
+
+    def body(s, _):
+        rng = s["rng"]
+        u_flight, u_event, rng = _next2(rng)
+        dt = -jnp.log(jnp.maximum(1.0 - u_flight, 1e-20)) / maj
+        t_new = s["t"] + dt
+        passed = t_new >= seg_len
+        finish = s["pending"] & passed           # survived to segment end
+        collide = s["pending"] & ~passed
+
+        p = p0 + t_new[..., None] * d
+        ss, sn, st = scene.medium_coefficients(medium, p)
+        prob_real = jnp.clip(index_spectrum(st, channel) / maj, 0.0, 1.0)
+        real = collide & (u_event < prob_real)
+        null = collide & ~real
+
+        w_null = sn / (maj * jnp.maximum(1.0 - prob_real, 1e-8))[..., None]
+        beta_f = jnp.where(null[..., None], s["beta_f"] * w_null, s["beta_f"])
+        # real collision weight applied here too: sigma_s / (maj * p_real)
+        w_real = ss / (maj * jnp.maximum(prob_real, 1e-8))[..., None]
+        beta_f = jnp.where(real[..., None], beta_f * w_real, beta_f)
+
+        return (
+            dict(
+                t=jnp.where(collide, t_new, s["t"]),
+                beta_f=beta_f,
+                pending=s["pending"] & null & (jnp.max(beta_f, axis=-1) > 0),
+                is_real=s["is_real"] | real,
+                t_real=jnp.where(real, t_new, s["t_real"]),
+                rng=rng,
+            ),
+            None,
+        )
+
+    out, _ = jax.lax.scan(body, state, None, length=n_steps)
+    # unresolved lanes -> absorbed
+    beta_f = jnp.where(out["pending"][..., None], 0.0, out["beta_f"])
+    reached_end = ~out["is_real"] & ~out["pending"]
+    reached_end = jnp.where(in_medium, reached_end, active)  # vacuum passes through
+    beta_f = jnp.where(in_medium[..., None], beta_f, jnp.ones_like(beta_f))
+    return reached_end, out["is_real"] & in_medium, out["t_real"], beta_f, out["rng"]
+
+
+def track_segment_ratio(scene, p0, d, seg_len, medium, channel, rng, active, n_steps):
+    """Ratio-tracking transmittance over one segment (NEE estimator):
+    T = prod sigma_n/maj at majorant-exponential collisions
+    (reference: ratio tracking in volpathaos.cpp:349-452)."""
+    n = p0.shape[0]
+    nc = scene.n_channels
+    in_medium = active & (medium >= 0)
+    maj = jnp.maximum(scene.medium_majorant(medium, p0), 1e-8)
+
+    state = dict(
+        t=jnp.zeros((n,), jnp.float32),
+        T=jnp.ones((n, nc), jnp.float32),
+        pending=in_medium,
+        rng=rng,
+    )
+
+    def body(s, _):
+        rng = s["rng"]
+        u_flight, _, rng = _next2(rng)
+        dt = -jnp.log(jnp.maximum(1.0 - u_flight, 1e-20)) / maj
+        t_new = s["t"] + dt
+        collide = s["pending"] & (t_new < seg_len)
+        p = p0 + t_new[..., None] * d
+        _, sn, _ = scene.medium_coefficients(medium, p)
+        ratio = sn / maj[..., None]
+        T = jnp.where(collide[..., None], s["T"] * ratio, s["T"])
+        return (
+            dict(
+                t=jnp.where(collide, t_new, s["t"]),
+                T=T,
+                pending=collide & (jnp.max(T, axis=-1) > 0),
+                rng=rng,
+            ),
+            None,
+        )
+
+    out, _ = jax.lax.scan(body, state, None, length=n_steps)
+    T = jnp.where(out["pending"][..., None], 0.0, out["T"])  # unresolved -> 0
+    T = jnp.where(in_medium[..., None], T, jnp.ones_like(T))
+    return jnp.where(active[..., None], T, jnp.ones_like(T)), out["rng"]
+
+
+def estimate_transmittance(
+    scene, p0, ds, medium_idx0, channel, rng, active,
+    max_crossings=4, steps_per_segment=32,
+):
+    """Transmittance from p0 toward emitter sample ds, crossing up to
+    max_crossings null-BSDF interfaces; one scene intersect per crossing."""
+    n = p0.shape[0]
+    nc = scene.n_channels
+    d = ds.d
+
+    state = dict(
+        p=p0,
+        remaining=ds.dist * (1.0 - 1e-3),
+        medium=medium_idx0,
+        T=jnp.ones((n, nc), jnp.float32),
+        alive=active & (ds.pdf > 0),
+        rng=rng,
+    )
+
+    for _ in range(max_crossings):
+        ray = spawn_ray(state["p"], d, d, maxt=state["remaining"])
+        si = scene.ray_intersect(ray, state["alive"])
+        t_surf = jnp.where(si.is_valid, si.t, jnp.inf)
+        seg_len = jnp.minimum(t_surf, state["remaining"])
+
+        T_seg, rng = track_segment_ratio(
+            scene, ray.o, d, seg_len, state["medium"], channel, state["rng"],
+            state["alive"], steps_per_segment,
+        )
+        T = state["T"] * jnp.where(state["alive"][..., None], T_seg, 1.0)
+
+        hit_surface = state["alive"] & si.is_valid & (t_surf < state["remaining"])
+        is_null = scene.is_null_bsdf(si)
+        blocked = hit_surface & ~is_null
+        T = jnp.where(blocked[..., None], 0.0, T)
+        cross = hit_surface & is_null
+
+        new_medium = jnp.where(
+            cross, scene.medium_transition(si, d, state["medium"]), state["medium"]
+        )
+        adv = jnp.where(cross, t_surf, 0.0)
+        state = dict(
+            p=state["p"] + (adv + 1e-4)[..., None] * d,
+            remaining=state["remaining"] - adv,
+            medium=new_medium,
+            T=T,
+            alive=cross & (jnp.max(T, axis=-1) > 0),
+            rng=rng,
+        )
+
+    # lanes still needing crossings beyond the budget: conservative 0
+    T = jnp.where(state["alive"][..., None], 0.0, state["T"])
+    return jnp.where(active[..., None], T, jnp.zeros((n, nc), jnp.float32)), state["rng"]
+
+
+@struct.dataclass
+class VolPathIntegrator:
+    max_depth: int = struct.field(pytree_node=False, default=8)
+    rr_depth: int = struct.field(pytree_node=False, default=5)
+    hide_emitters: bool = struct.field(pytree_node=False, default=False)
+    max_segments: int = struct.field(pytree_node=False, default=0)  # 0 -> auto
+    track_steps: int = struct.field(pytree_node=False, default=32)
+    nee_crossings: int = struct.field(pytree_node=False, default=4)
+    nee_steps: int = struct.field(pytree_node=False, default=32)
+
+    def sample(self, scene, rng, ray, wavelengths, active):
+        n = ray.o.shape[0]
+        nc = scene.n_channels
+        max_depth = self.max_depth if self.max_depth > 0 else 64
+        # outer iterations: one surface-or-real-scatter event each, plus
+        # headroom for null-interface crossings
+        max_segments = self.max_segments or (max_depth + 8)
+
+        u_ch, _, rng = _next2(rng)
+        channel = sample_channel(u_ch, nc)
+
+        state = dict(
+            depth=jnp.zeros((n,), jnp.int32),
+            n_rays=jnp.asarray(0.0, jnp.float32),
+            L=jnp.zeros((n, nc), jnp.float32),
+            beta=jnp.ones((n, nc), jnp.float32),
+            ray_o=ray.o,
+            ray_d=ray.d,
+            medium=jnp.full((n,), scene.camera_medium, jnp.int32),
+            rng=rng,
+            active=active,
+            prev_pdf=jnp.ones((n,), jnp.float32),
+            prev_delta=jnp.ones((n,), bool),
+            prev_p=ray.o,
+        )
+
+        def body(s, _):
+            rng = s["rng"]
+            cur_ray = Ray.make(s["ray_o"], s["ray_d"])
+            si = scene.ray_intersect(cur_ray, s["active"])
+            t_surf = jnp.where(si.is_valid, si.t, jnp.inf)
+
+            # ---- delta-track the segment up to the surface ----
+            reached_end, real, t_real, beta_f, rng = track_segment(
+                scene, s["ray_o"], s["ray_d"], t_surf, s["medium"], channel,
+                rng, s["active"], self.track_steps,
+            )
+            beta = s["beta"] * jnp.where(s["active"][..., None], beta_f, 1.0)
+
+            surface_event = s["active"] & reached_end & si.is_valid
+            escaped = s["active"] & reached_end & ~si.is_valid
+
+            p_med = s["ray_o"] + t_real[..., None] * s["ray_d"]
+            mei = MediumInteraction.make(
+                jnp.where(real, t_real, jnp.inf), p_med, s["ray_d"], s["medium"]
+            )
+            phase_idx = scene.medium_phase_of(s["medium"])
+
+            # fixed-order outer draws
+            u0, u2a_x, rng = _next2(rng)
+            u2a_y, u_lobe, rng = _next2(rng)
+            u2b_x, u2b_y, rng = _next2(rng)
+            u_rr, _, rng = _next2(rng)
+
+            # ---- emitter hit / escape with MIS vs previous pdf ----
+            L = s["L"]
+            env_val = scene.eval_environment(s["ray_d"], wavelengths)
+            env_pdf = jnp.where(
+                s["prev_delta"], 0.0, scene.pdf_emitter_direction_escaped(s["ray_d"])
+            )
+            L = L + jnp.where(
+                escaped[..., None],
+                beta * mis_weight(s["prev_pdf"], env_pdf)[..., None] * env_val,
+                0.0,
+            )
+            em_val = scene.eval_emitter_hit(si, wavelengths)
+            em_pdf = jnp.where(
+                s["prev_delta"], 0.0, scene.pdf_emitter_direction_hit(s["prev_p"], si)
+            )
+            L = L + jnp.where(
+                surface_event[..., None],
+                beta * mis_weight(s["prev_pdf"], em_pdf)[..., None] * em_val,
+                0.0,
+            )
+
+            depth_ok = s["depth"] + 1 < max_depth
+            is_null_surf = scene.is_null_bsdf(si)
+            null_cross = surface_event & is_null_surf     # no depth count
+            scatter_surf = surface_event & ~is_null_surf & depth_ok
+            scatter_med = real & depth_ok
+
+            # ---- NEE ----
+            nee_active = scatter_med | scatter_surf
+            ref_p = jnp.where(scatter_med[..., None], p_med, si.p)
+            ds, em_weight = scene.sample_emitter_direction(
+                ref_p, u0, jnp.stack([u2a_x, u2a_y], axis=-1), wavelengths,
+                nee_active, test_visibility=False,
+            )
+            nee_medium = jnp.where(
+                scatter_surf, scene.medium_transition(si, ds.d, s["medium"]),
+                s["medium"],
+            )
+            p_nee = jnp.where(
+                scatter_surf[..., None],
+                si.p + jnp.sign(jnp.sum(si.n * ds.d, axis=-1))[..., None] * 1e-4 * si.n,
+                p_med,
+            )
+            T_nee, rng = estimate_transmittance(
+                scene, p_nee, ds, nee_medium, channel, rng, nee_active,
+                max_crossings=self.nee_crossings, steps_per_segment=self.nee_steps,
+            )
+
+            wo_med = mei.to_local(ds.d)
+            ph_val, ph_pdf = scene.phase_eval_pdf(
+                phase_idx, mei, wo_med, wavelengths, scatter_med
+            )
+            wo_surf = si.to_local(ds.d)
+            b_val, b_pdf = scene.bsdf_eval_pdf(si, wo_surf, wavelengths, scatter_surf)
+            f_nee = jnp.where(scatter_med[..., None], ph_val, b_val)
+            pdf_fwd = jnp.where(scatter_med, ph_pdf, b_pdf)
+            w_nee = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, pdf_fwd))
+            L = L + jnp.where(
+                nee_active[..., None],
+                beta * f_nee * em_weight * T_nee * w_nee[..., None],
+                0.0,
+            )
+
+            # ---- direction sampling ----
+            wo_ph, w_ph, pdf_ph = scene.phase_sample(
+                phase_idx, mei, u_lobe, jnp.stack([u2b_x, u2b_y], axis=-1),
+                wavelengths, scatter_med,
+            )
+            d_med = mei.to_world(wo_ph)
+            bs, bw = scene.bsdf_sample(
+                si, u_lobe, jnp.stack([u2b_x, u2b_y], axis=-1), wavelengths,
+                scatter_surf,
+            )
+            d_surf = si.to_world(bs.wo)
+
+            new_d = jnp.where(
+                scatter_med[..., None], d_med,
+                jnp.where(scatter_surf[..., None], d_surf, s["ray_d"]),
+            )
+            o_surf = spawn_ray(si.p, si.n, new_d).o
+            new_o = jnp.where(
+                scatter_med[..., None], p_med,
+                jnp.where(surface_event[..., None], o_surf, s["ray_o"]),
+            )
+
+            beta = jnp.where(scatter_med[..., None], beta * w_ph, beta)
+            beta = jnp.where(scatter_surf[..., None], beta * bw, beta)
+
+            new_medium = jnp.where(
+                null_cross | scatter_surf,
+                scene.medium_transition(si, new_d, s["medium"]),
+                s["medium"],
+            )
+
+            new_depth = s["depth"] + (scatter_med | scatter_surf).astype(jnp.int32)
+            new_prev_pdf = jnp.where(
+                scatter_med, pdf_ph, jnp.where(scatter_surf, bs.pdf, s["prev_pdf"])
+            )
+            new_prev_delta = jnp.where(
+                scatter_med, False, jnp.where(scatter_surf, bs.delta, s["prev_delta"])
+            )
+            new_prev_p = jnp.where(nee_active[..., None], ref_p, s["prev_p"])
+
+            alive = s["active"] & ~escaped
+            alive = alive & ~(scatter_surf & (bs.pdf <= 0))
+            alive = alive & ~(scatter_med & (pdf_ph <= 0))
+            alive = alive & ~(surface_event & ~is_null_surf & ~depth_ok)
+            alive = alive & ~(real & ~depth_ok)
+            alive = alive & (jnp.max(beta, axis=-1) > 0)
+
+            # ---- Russian roulette ----
+            beta_max = jnp.max(beta, axis=-1)
+            rr_active = (new_depth >= self.rr_depth) & (scatter_med | scatter_surf)
+            q = jnp.minimum(beta_max, 0.95)
+            rr_continue = u_rr < q
+            beta = jnp.where(
+                (rr_active & alive)[..., None],
+                beta / jnp.maximum(q, 1e-6)[..., None],
+                beta,
+            )
+            alive = alive & (~rr_active | rr_continue)
+
+            n_rays = s["n_rays"] + jnp.sum(s["active"].astype(jnp.float32)) + jnp.sum(
+                nee_active.astype(jnp.float32)
+            )
+
+            return (
+                dict(
+                    depth=new_depth, n_rays=n_rays, L=L, beta=beta,
+                    ray_o=new_o, ray_d=new_d, medium=new_medium, rng=rng,
+                    active=alive, prev_pdf=new_prev_pdf,
+                    prev_delta=new_prev_delta, prev_p=new_prev_p,
+                ),
+                None,
+            )
+
+        out, _ = jax.lax.scan(body, state, None, length=max_segments)
+        return out["L"], {"n_rays": out["n_rays"]}

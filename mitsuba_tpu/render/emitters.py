@@ -22,11 +22,14 @@ from ..core.math import INV_FOUR_PI, safe_sqrt
 from .records import DirectionSample
 
 
-def _ds(p, n, d, dist, pdf, delta, idx_val, nlanes):
+def _ds(p, n, d, dist, pdf, delta, idx_val, nlanes, uv=None):
+    if uv is None:
+        uv = jnp.zeros((nlanes, 2), jnp.float32)
     return DirectionSample(
         p=p, n=n, d=d, dist=dist, pdf=pdf,
         delta=jnp.full((nlanes,), delta, bool),
         emitter_index=jnp.full((nlanes,), idx_val, jnp.int32),
+        uv=uv,
     )
 
 
@@ -82,7 +85,7 @@ class AreaEmitter:
         weight = jnp.where(
             (pdf > 0)[..., None], val / jnp.maximum(pdf, 1e-20)[..., None], 0.0
         )
-        ds = _ds(p, ng, d, dist, pdf, False, emitter_index, n_lanes)
+        ds = _ds(p, ng, d, dist, pdf, False, emitter_index, n_lanes, uv=uv)
         return ds, weight
 
     def pdf_direction(self, ref_p, si):

@@ -145,6 +145,7 @@ class DirectionSample:
     pdf: jnp.ndarray        # [N] solid-angle density (0 for invalid)
     delta: jnp.ndarray      # [N] bool: Dirac (point/directional)
     emitter_index: jnp.ndarray  # [N] int32
+    uv: jnp.ndarray         # [N, 2] emitter-surface uv (for attached re-eval)
 
 
 @struct.dataclass

@@ -68,6 +68,7 @@ class Scene:
                 dist=jnp.zeros((n_lanes,)), pdf=jnp.zeros((n_lanes,)),
                 delta=jnp.zeros((n_lanes,), bool),
                 emitter_index=jnp.full((n_lanes,), -1, jnp.int32),
+                uv=jnp.zeros((n_lanes, 2), jnp.float32),
             )
             return ds, zero
 
@@ -90,6 +91,7 @@ class Scene:
                     pdf=jnp.where(m, ds_i.pdf, ds_out.pdf),
                     delta=jnp.where(m, ds_i.delta, ds_out.delta),
                     emitter_index=jnp.where(m, ds_i.emitter_index, ds_out.emitter_index),
+                    uv=jnp.where(m[..., None], ds_i.uv, ds_out.uv),
                 )
                 w_out = jnp.where(m[..., None], w_i, w_out)
         # selection probability 1/E
@@ -207,3 +209,87 @@ class Scene:
     @property
     def bbox_radius(self):
         return 0.5 * jnp.sqrt(jnp.sum((self.bbox_max - self.bbox_min) ** 2))
+
+    # -- medium dispatch (reference: DRJIT_VCALL over Medium,
+    #    include/mitsuba/render/medium.h:154-166) --------------------------
+    def medium_majorant(self, medium_idx, p):
+        """Combined majorant at p for per-lane medium indices (-1 = vacuum)."""
+        out = jnp.zeros(p.shape[:-1], jnp.float32)
+        for i, m in enumerate(self.media):
+            sel = medium_idx == i
+            out = jnp.where(sel, m.get_majorant(p, self.n_channels), out)
+        return out
+
+    def medium_coefficients(self, medium_idx, p):
+        """(sigma_s, sigma_n, sigma_t) [N, C] for per-lane medium indices."""
+        n = p.shape[0]
+        z = jnp.zeros((n, self.n_channels), jnp.float32)
+        ss, sn, st = z, z, z
+        for i, m in enumerate(self.media):
+            sel = (medium_idx == i)[..., None]
+            ss_i, sn_i, st_i = m.get_scattering_coefficients(p, self.n_channels)
+            ss = jnp.where(sel, ss_i, ss)
+            sn = jnp.where(sel, sn_i, sn)
+            st = jnp.where(sel, st_i, st)
+        return ss, sn, st
+
+    def medium_phase_of(self, medium_idx):
+        """Per-lane phase-function index for the current medium."""
+        if not self.media:
+            return jnp.full_like(medium_idx, -1)
+        table = jnp.asarray([m.phase_index for m in self.media], jnp.int32)
+        safe = jnp.clip(medium_idx, 0, len(self.media) - 1)
+        return jnp.where(medium_idx >= 0, table[safe], -1)
+
+    def phase_sample(self, phase_idx, mei, u1, u2, wavelengths, active):
+        """Masked vcall: sample all phase instances, select by index.
+        Returns (wo_local, weight [N,C], pdf)."""
+        n = phase_idx.shape[0]
+        wo = jnp.tile(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), (n, 1))
+        weight = jnp.zeros((n, self.n_channels), jnp.float32)
+        pdf = jnp.zeros((n,), jnp.float32)
+        for i, ph in enumerate(self.phases):
+            m = (phase_idx == i) & active
+            wo_i, w_i, p_i = ph.sample(mei, u1, u2, wavelengths, self.n_channels)
+            wo = jnp.where(m[..., None], wo_i, wo)
+            weight = jnp.where(m[..., None], w_i, weight)
+            pdf = jnp.where(m, p_i, pdf)
+        return wo, weight, pdf
+
+    def phase_eval_pdf(self, phase_idx, mei, wo, wavelengths, active):
+        n = phase_idx.shape[0]
+        val = jnp.zeros((n, self.n_channels), jnp.float32)
+        pdf = jnp.zeros((n,), jnp.float32)
+        for i, ph in enumerate(self.phases):
+            m = (phase_idx == i) & active
+            v_i, p_i = ph.eval_pdf(mei, wo, wavelengths, self.n_channels)
+            val = jnp.where(m[..., None], v_i, val)
+            pdf = jnp.where(m, p_i, pdf)
+        return val, pdf
+
+    def is_null_bsdf(self, si):
+        """Lanes whose hit surface has a null (medium-boundary) BSDF
+        (reference: BSDF::eval_null_transmission users in volpath.cpp)."""
+        from .bsdfs import NullBSDF
+
+        b_idx = self.bsdf_index_at(si)
+        out = jnp.zeros(b_idx.shape, bool)
+        for i, b in enumerate(self.bsdfs):
+            if isinstance(b, NullBSDF):
+                out = out | (b_idx == i)
+        return out
+
+    def medium_transition(self, si, d, medium_idx):
+        """New per-lane medium index after crossing surface si along d
+        (reference: SurfaceInteraction::target_medium)."""
+        shape_idx = jnp.maximum(si.shape_index, 0)
+        interior = self.shape_interior_medium[shape_idx]
+        exterior = self.shape_exterior_medium[shape_idx]
+        from ..core.frame import dot
+
+        entering = dot(d, si.n) < 0.0
+        new_med = jnp.where(entering, interior, exterior)
+        # only shapes that actually separate two media transition
+        # (reference: SurfaceInteraction::is_medium_transition)
+        is_transition = (si.shape_index >= 0) & (interior != exterior)
+        return jnp.where(is_transition, new_med, medium_idx)
