@@ -1,0 +1,58 @@
+"""render() custom VJP wiring for PRB integrators.
+
+The reference intercepts AD on mi.render via a dr.CustomOp (_RenderOp,
+reference: util.py:356-408) that dispatches to RBIntegrator.render_backward
+(common.py:828-983): primal pass -> image; backward: differentiate only the
+splatting -> per-sample adjoint dL -> replay pass.  Here the per-lane render
+pass is the custom_vjp boundary: everything after it (film develop, spectral
+-> sRGB) is cheap jnp math that tape-AD handles, so dL arrives per lane
+automatically.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .prb import FLOAT0, assemble_scene_cotangent
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def prb_pass(scene, seed, pass_base, spp_pass, spp_total, sensor_idx):
+    """Per-lane radiance [N, C] with PRB gradients w.r.t. scene parameters."""
+    from ..render_api import _pass_lanes, make_wavefront
+
+    n = _pass_lanes(scene.film, spp_pass)
+    rng, ray, wavelengths, _ = make_wavefront(
+        scene, seed, 0, n, pass_base, spp_pass, spp_total, sensor_idx
+    )
+    active = jnp.ones((n,), bool)
+    L, _ = scene.integrator.sample(scene, rng, ray, wavelengths, active)
+    return L
+
+
+def _prb_pass_fwd(scene, seed, pass_base, spp_pass, spp_total, sensor_idx):
+    L = prb_pass(scene, seed, pass_base, spp_pass, spp_total, sensor_idx)
+    return L, (scene, seed, L)
+
+
+def _prb_pass_bwd(pass_base, spp_pass, spp_total, sensor_idx, res, dL):
+    scene, seed, L = res
+    from ..render_api import _pass_lanes, make_wavefront
+
+    n = _pass_lanes(scene.film, spp_pass)
+    rng, ray, wavelengths, _ = make_wavefront(
+        scene, seed, 0, n, pass_base, spp_pass, spp_total, sensor_idx
+    )
+    active = jnp.ones((n,), bool)
+    grads = scene.integrator.sample_backward(
+        scene, rng, ray, wavelengths, dL, L, active
+    )
+    ct_scene = assemble_scene_cotangent(scene, grads)
+    ct_seed = np.zeros((), FLOAT0)
+    return ct_scene, ct_seed
+
+
+prb_pass.defvjp(_prb_pass_fwd, _prb_pass_bwd)

@@ -10,10 +10,14 @@ def make_integrator(spec):
     rr_depth = int(spec.get("rr_depth", 5))
     hide = bool(spec.get("hide_emitters", False))
 
-    if t in ("path", "prb", "prb_basic"):
+    if t == "path":
         from .path import PathIntegrator
 
         return PathIntegrator(max_depth=max_depth, rr_depth=rr_depth, hide_emitters=hide)
+    if t in ("prb", "prb_basic"):
+        from ..ad.prb import PRBIntegrator
+
+        return PRBIntegrator(max_depth=max_depth, rr_depth=rr_depth, hide_emitters=hide)
     if t == "direct":
         from .direct import DirectIntegrator
 

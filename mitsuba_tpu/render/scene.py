@@ -154,6 +154,27 @@ class Scene:
             out = jnp.where(m[..., None], em.eval(si, wavelengths, self.n_channels), out)
         return out
 
+    def eval_emitter_sample(self, ds, wavelengths):
+        """Differentiably re-evaluate the emitter *radiance value* of a
+        detached direction sample (reference: scene.eval_emitter_direction
+        used in the PRB attached recompute, prb.py:155-160).  Geometric
+        factors (1/dist^2, pdf) are excluded — the PRB backward pass carries
+        them as a detached ratio."""
+        n_lanes = ds.d.shape[0]
+        out = jnp.zeros((n_lanes, self.n_channels), jnp.float32)
+        for i, em in enumerate(self.emitters):
+            m = ds.emitter_index == i
+            if em.is_environment:
+                v = em.eval_escaped(ds.d, wavelengths, self.n_channels)
+            elif hasattr(em, "radiance"):
+                v = em.radiance.eval(ds.uv, wavelengths, self.n_channels)
+            elif hasattr(em, "intensity"):
+                v = em.intensity.eval(ds.uv, wavelengths, self.n_channels)
+            else:  # directional
+                v = em.irradiance.eval(ds.uv, wavelengths, self.n_channels)
+            out = jnp.where(m[..., None], v, out)
+        return out
+
     def eval_environment(self, d, wavelengths):
         """Environment radiance for escaped rays along direction d."""
         if self.env_emitter < 0:

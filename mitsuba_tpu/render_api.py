@@ -28,10 +28,10 @@ def _pass_lanes(film, spp_pass):
     return film.width * film.height * spp_pass
 
 
-def render_lanes(scene, seed, lane0, n, pass_base, spp_pass, spp_total, sensor_idx):
-    """Render lanes [lane0, lane0+n) of a wavefront pass.  The sharding unit:
-    each chip renders a contiguous lane chunk; RNG streams are keyed by the
-    *global* sample index so the result is partition-invariant."""
+def make_wavefront(scene, seed, lane0, n, pass_base, spp_pass, spp_total, sensor_idx):
+    """Deterministic wavefront setup: per-lane RNG streams keyed by the
+    *global* sample index (partition-invariant and PRB-replayable), camera
+    rays, and sampled wavelengths.  Returns (rng, ray, wavelengths, wl_pdf)."""
     film = scene.film
     sensor = scene.sensors[sensor_idx]
 
@@ -66,7 +66,14 @@ def render_lanes(scene, seed, lane0, n, pass_base, spp_pass, spp_total, sensor_i
             use_pin = fixed > 0
             wavelengths = jnp.where(use_pin, pinned, wavelengths)
             wl_pdf = jnp.where(use_pin, 1.0, wl_pdf)
+    return rng, ray, wavelengths, wl_pdf
 
+
+def render_lanes(scene, seed, lane0, n, pass_base, spp_pass, spp_total, sensor_idx):
+    """Render lanes [lane0, lane0+n) of a wavefront pass."""
+    rng, ray, wavelengths, wl_pdf = make_wavefront(
+        scene, seed, lane0, n, pass_base, spp_pass, spp_total, sensor_idx
+    )
     active = jnp.ones((n,), bool)
     L, aux = scene.integrator.sample(scene, rng, ray, wavelengths, active)
     return L, wavelengths, wl_pdf, aux
@@ -90,19 +97,39 @@ def render(scene, params=None, sensor=0, seed=0, spp=None, spp_per_pass=None):
     spp_per_pass = min(spp_per_pass or spp, spp)
     n_passes = (spp + spp_per_pass - 1) // spp_per_pass
 
+    use_prb = getattr(scene.integrator, "is_prb", False)
     acc = None
     for p in range(n_passes):
         this_spp = min(spp_per_pass, spp - p * spp_per_pass)
-        L, wavelengths, wl_pdf, _ = _render_pass(
-            scene, jnp.uint32(seed), p * spp_per_pass, this_spp, spp, sensor
-        )
+        if use_prb:
+            # PRB custom-vjp boundary (reference: _RenderOp, util.py:356-408)
+            L = _prb_pass_jit(scene, jnp.uint32(seed), p * spp_per_pass, this_spp, spp, sensor)
+            if scene.n_channels == 4:
+                _, _, wavelengths, wl_pdf = make_wavefront(
+                    scene, jnp.uint32(seed), 0, _pass_lanes(film, this_spp),
+                    p * spp_per_pass, this_spp, spp, sensor,
+                )
+            else:
+                wavelengths = wl_pdf = None
+        else:
+            L, wavelengths, wl_pdf, _ = _render_pass(
+                scene, jnp.uint32(seed), p * spp_per_pass, this_spp, spp, sensor
+            )
         if scene.n_channels == 4 and wavelengths is not None:
             # spectral -> XYZ -> linear sRGB per lane
-            xyz = spec.spectrum_to_xyz(L, wavelengths, wl_pdf)
+            xyz = spec.spectrum_to_xyz(L, wavelengths, jax.lax.stop_gradient(wl_pdf))
             L = jnp.clip(spec.xyz_to_srgb(xyz), 0.0, None)
         img = develop(film, L, this_spp)
         acc = img * this_spp if acc is None else acc + img * this_spp
     return acc / spp
+
+
+def _prb_pass_jit(scene, seed, pass_base, spp_pass, spp_total, sensor_idx):
+    from .ad.render_ad import prb_pass
+
+    return jax.jit(prb_pass, static_argnums=(2, 3, 4, 5))(
+        scene, seed, pass_base, spp_pass, spp_total, sensor_idx
+    )
 
 
 def render_1(scene, params=None, sensor=0, seed=0, spp=None):
