@@ -10,6 +10,14 @@ def make_integrator(spec):
     rr_depth = int(spec.get("rr_depth", 5))
     hide = bool(spec.get("hide_emitters", False))
 
+    from ..variant import current_variant
+
+    if current_variant().polarized and t in ("path", "prb", "prb_basic"):
+        # polarized transport lives in the volumetric integrator (it handles
+        # pure-surface scenes too); mirrors the reference where polarized
+        # variants share the same plugin names with Spectrum = MuellerMatrix
+        t = "volpath"
+
     if t == "path":
         from .path import PathIntegrator
 

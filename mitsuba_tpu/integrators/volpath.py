@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..render.records import MediumInteraction, Ray, spawn_ray
+from ..render.spectrum_ops import get_ops
 from .path import mis_weight, _next2
 
 
@@ -214,6 +215,7 @@ class VolPathIntegrator:
     def sample(self, scene, rng, ray, wavelengths, active):
         n = ray.o.shape[0]
         nc = scene.n_channels
+        ops = get_ops(scene.polarized)
         max_depth = self.max_depth if self.max_depth > 0 else 64
         # outer iterations: one surface-or-real-scatter event each, plus
         # headroom for null-interface crossings
@@ -225,8 +227,8 @@ class VolPathIntegrator:
         state = dict(
             depth=jnp.zeros((n,), jnp.int32),
             n_rays=jnp.asarray(0.0, jnp.float32),
-            L=jnp.zeros((n, nc), jnp.float32),
-            beta=jnp.ones((n, nc), jnp.float32),
+            L=ops.zero_radiance(n, nc),
+            beta=ops.one(n, nc),
             ray_o=ray.o,
             ray_d=ray.d,
             medium=jnp.full((n,), scene.camera_medium, jnp.int32),
@@ -248,7 +250,10 @@ class VolPathIntegrator:
                 scene, s["ray_o"], s["ray_d"], t_surf, s["medium"], channel,
                 rng, s["active"], self.track_steps,
             )
-            beta = s["beta"] * jnp.where(s["active"][..., None], beta_f, 1.0)
+            # tracking ratios are per-channel scalars (polarization-preserving)
+            beta = ops.mul_scalar(
+                s["beta"], jnp.where(s["active"][..., None], beta_f, 1.0)
+            )
 
             surface_event = s["active"] & reached_end & si.is_valid
             escaped = s["active"] & reached_end & ~si.is_valid
@@ -271,19 +276,17 @@ class VolPathIntegrator:
             env_pdf = jnp.where(
                 s["prev_delta"], 0.0, scene.pdf_emitter_direction_escaped(s["ray_d"])
             )
-            L = L + jnp.where(
-                escaped[..., None],
-                beta * mis_weight(s["prev_pdf"], env_pdf)[..., None] * env_val,
-                0.0,
+            w_env = mis_weight(s["prev_pdf"], env_pdf)
+            L = L + ops.where_rad(
+                escaped, ops.emit(beta, env_val * w_env[..., None]), jnp.zeros_like(L)
             )
             em_val = scene.eval_emitter_hit(si, wavelengths)
             em_pdf = jnp.where(
                 s["prev_delta"], 0.0, scene.pdf_emitter_direction_hit(s["prev_p"], si)
             )
-            L = L + jnp.where(
-                surface_event[..., None],
-                beta * mis_weight(s["prev_pdf"], em_pdf)[..., None] * em_val,
-                0.0,
+            w_hit = mis_weight(s["prev_pdf"], em_pdf)
+            L = L + ops.where_rad(
+                surface_event, ops.emit(beta, em_val * w_hit[..., None]), jnp.zeros_like(L)
             )
 
             depth_ok = s["depth"] + 1 < max_depth
@@ -314,30 +317,48 @@ class VolPathIntegrator:
             )
 
             wo_med = mei.to_local(ds.d)
-            ph_val, ph_pdf = scene.phase_eval_pdf(
-                phase_idx, mei, wo_med, wavelengths, scatter_med
-            )
             wo_surf = si.to_local(ds.d)
-            b_val, b_pdf = scene.bsdf_eval_pdf(si, wo_surf, wavelengths, scatter_surf)
-            f_nee = jnp.where(scatter_med[..., None], ph_val, b_val)
+            if ops.polarized:
+                ph_val, ph_pdf = scene.phase_eval_pdf_pol(
+                    phase_idx, mei, wo_med, wavelengths, scatter_med
+                )
+                b_val, b_pdf = scene.bsdf_eval_pdf_pol(
+                    si, wo_surf, wavelengths, scatter_surf
+                )
+                f_nee = jnp.where(scatter_med[..., None, None, None], ph_val, b_val)
+            else:
+                ph_val, ph_pdf = scene.phase_eval_pdf(
+                    phase_idx, mei, wo_med, wavelengths, scatter_med
+                )
+                b_val, b_pdf = scene.bsdf_eval_pdf(si, wo_surf, wavelengths, scatter_surf)
+                f_nee = jnp.where(scatter_med[..., None], ph_val, b_val)
             pdf_fwd = jnp.where(scatter_med, ph_pdf, b_pdf)
             w_nee = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, pdf_fwd))
-            L = L + jnp.where(
-                nee_active[..., None],
-                beta * f_nee * em_weight * T_nee * w_nee[..., None],
-                0.0,
+            nee_contrib = ops.contrib_nee(
+                beta, f_nee, em_weight * T_nee * w_nee[..., None]
             )
+            L = L + ops.where_rad(nee_active, nee_contrib, jnp.zeros_like(L))
 
             # ---- direction sampling ----
-            wo_ph, w_ph, pdf_ph = scene.phase_sample(
-                phase_idx, mei, u_lobe, jnp.stack([u2b_x, u2b_y], axis=-1),
-                wavelengths, scatter_med,
-            )
+            if ops.polarized:
+                wo_ph, w_ph, pdf_ph = scene.phase_sample_pol(
+                    phase_idx, mei, u_lobe, jnp.stack([u2b_x, u2b_y], axis=-1),
+                    wavelengths, scatter_med,
+                )
+                bs, bw = scene.bsdf_sample_pol(
+                    si, u_lobe, jnp.stack([u2b_x, u2b_y], axis=-1), wavelengths,
+                    scatter_surf,
+                )
+            else:
+                wo_ph, w_ph, pdf_ph = scene.phase_sample(
+                    phase_idx, mei, u_lobe, jnp.stack([u2b_x, u2b_y], axis=-1),
+                    wavelengths, scatter_med,
+                )
+                bs, bw = scene.bsdf_sample(
+                    si, u_lobe, jnp.stack([u2b_x, u2b_y], axis=-1), wavelengths,
+                    scatter_surf,
+                )
             d_med = mei.to_world(wo_ph)
-            bs, bw = scene.bsdf_sample(
-                si, u_lobe, jnp.stack([u2b_x, u2b_y], axis=-1), wavelengths,
-                scatter_surf,
-            )
             d_surf = si.to_world(bs.wo)
 
             new_d = jnp.where(
@@ -350,8 +371,8 @@ class VolPathIntegrator:
                 jnp.where(surface_event[..., None], o_surf, s["ray_o"]),
             )
 
-            beta = jnp.where(scatter_med[..., None], beta * w_ph, beta)
-            beta = jnp.where(scatter_surf[..., None], beta * bw, beta)
+            beta = ops.where_beta(scatter_med, ops.apply(beta, w_ph), beta)
+            beta = ops.where_beta(scatter_surf, ops.apply(beta, bw), beta)
 
             new_medium = jnp.where(
                 null_cross | scatter_surf,
@@ -371,18 +392,19 @@ class VolPathIntegrator:
             alive = s["active"] & ~escaped
             alive = alive & ~(scatter_surf & (bs.pdf <= 0))
             alive = alive & ~(scatter_med & (pdf_ph <= 0))
+            beta_int = ops.intensity_beta(beta)          # [N, C]
             alive = alive & ~(surface_event & ~is_null_surf & ~depth_ok)
             alive = alive & ~(real & ~depth_ok)
-            alive = alive & (jnp.max(beta, axis=-1) > 0)
+            alive = alive & (jnp.max(beta_int, axis=-1) > 0)
 
             # ---- Russian roulette ----
-            beta_max = jnp.max(beta, axis=-1)
+            beta_max = jnp.max(beta_int, axis=-1)
             rr_active = (new_depth >= self.rr_depth) & (scatter_med | scatter_surf)
             q = jnp.minimum(beta_max, 0.95)
             rr_continue = u_rr < q
-            beta = jnp.where(
-                (rr_active & alive)[..., None],
-                beta / jnp.maximum(q, 1e-6)[..., None],
+            beta = ops.where_beta(
+                rr_active & alive,
+                ops.mul_scalar(beta, 1.0 / jnp.maximum(q, 1e-6)[..., None]),
                 beta,
             )
             alive = alive & (~rr_active | rr_continue)

@@ -22,11 +22,34 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..core import warp
-from ..core.frame import normalize, reflect
+from ..core.frame import cross, normalize, reflect
 from ..core.math import INV_PI
 from . import microfacet as mf
+from . import mueller as mu
 from .fresnel import fresnel, fresnel_conductor
 from .records import BSDFSample
+
+
+def rotate_specular_mueller(M, wo_hat, wi_hat):
+    """Rotate a specular Mueller matrix whose reference vector lies
+    *perpendicular* to the plane of reflection (s-axis) into the implicit
+    local Stokes bases (reference: src/bsdfs/dielectric.cpp:296-340).
+    Light arrives along -wo_hat and leaves along +wi_hat (local frame).
+    M: [N, C, 4, 4]."""
+    n = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+    s_axis_in = cross(jnp.broadcast_to(n, wo_hat.shape), -wo_hat)
+    s_axis_out = cross(jnp.broadcast_to(n, wi_hat.shape), wi_hat)
+    collinear = jnp.sum(s_axis_in * s_axis_in, axis=-1, keepdims=True) < 1e-16
+    fallback = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], jnp.float32), wo_hat.shape)
+    s_axis_in = jnp.where(collinear, fallback, normalize(jnp.where(collinear, fallback, s_axis_in)))
+    s_axis_out = jnp.where(collinear, fallback, normalize(jnp.where(collinear, fallback, s_axis_out)))
+    return mu.rotate_mueller_basis(
+        M,
+        -wo_hat[..., None, :], s_axis_in[..., None, :],
+        mu.stokes_basis(-wo_hat)[..., None, :],
+        wi_hat[..., None, :], s_axis_out[..., None, :],
+        mu.stokes_basis(wi_hat)[..., None, :],
+    )
 
 
 def _invalid_sample(n):
@@ -142,6 +165,26 @@ class SmoothDielectricBSDF:
         )
         return bs, weight
 
+    def sample_pol(self, u_lobe, u2, si, wavelengths, n_channels):
+        """Polarized sample: full Fresnel Mueller weight in local implicit
+        bases (reference: dielectric.cpp:296-340).  Radiance transport:
+        light arrives along -wo_hat (= -bs.wo) and leaves along wi_hat = si.wi."""
+        bs, _ = self.sample(u_lobe, u2, si, wavelengths, n_channels)
+        wo_hat = bs.wo
+        wi_hat = si.wi
+        cos_o = wo_hat[..., 2]
+        R = mu.specular_reflection(cos_o[..., None], jnp.asarray(self.eta, jnp.complex64))
+        T = mu.specular_transmission(cos_o[..., None], self.eta)
+        pick_reflect = bs.eta == 1.0
+        M = jnp.where(pick_reflect[..., None, None, None], R, T)
+        M = jnp.broadcast_to(M, M.shape[:-3] + (n_channels, 4, 4))
+        M = M / jnp.maximum(bs.pdf, 1e-8)[..., None, None, None]
+        M = rotate_specular_mueller(M, wo_hat, wi_hat)
+        refl = self.specular_reflectance.eval(si.uv, wavelengths, n_channels)
+        trans = self.specular_transmittance.eval(si.uv, wavelengths, n_channels)
+        scalar = jnp.where(pick_reflect[..., None], refl, trans)
+        return bs, M * scalar[..., None, None]
+
 
 @struct.dataclass
 class ThinDielectricBSDF:
@@ -209,6 +252,22 @@ class SmoothConductorBSDF:
             delta=jnp.ones_like(valid),
         )
         return bs, weight
+
+    def sample_pol(self, u_lobe, u2, si, wavelengths, n_channels):
+        """Polarized conductor mirror: complex-IOR Fresnel Mueller matrix
+        (reference: src/bsdfs/conductor.cpp:273-282)."""
+        bs, _ = self.sample(u_lobe, u2, si, wavelengths, n_channels)
+        wo_hat = bs.wo
+        wi_hat = si.wi
+        cos_o = wo_hat[..., 2]
+        eta_c = jnp.asarray(self.eta, jnp.complex64) - 1j * jnp.asarray(self.k, jnp.complex64)
+        R = mu.specular_reflection(cos_o[..., None], eta_c)       # [N, C?, 4, 4]
+        R = jnp.broadcast_to(R, R.shape[:-3] + (n_channels, 4, 4))
+        R = rotate_specular_mueller(R, wo_hat, wi_hat)
+        valid = si.wi[..., 2] > 0
+        refl = self.specular_reflectance.eval(si.uv, wavelengths, n_channels)
+        M = jnp.where(valid[..., None, None, None], R * refl[..., None, None], 0.0)
+        return bs, M
 
 
 @struct.dataclass

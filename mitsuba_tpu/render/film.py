@@ -70,7 +70,14 @@ def film_positions(film: Film, spp: int, jitter):
 
 
 def develop(film: Film, values, spp: int):
-    """[H*W*spp, C] pixel-major radiance -> [H, W, C] image."""
-    c = values.shape[-1]
-    img = values.reshape(film.height, film.width, spp, c)
-    return jnp.mean(img, axis=2)
+    """Pixel-major per-lane radiance -> image.
+
+    [H*W*spp, C]    -> [H, W, C]       (unpolarized)
+    [H*W*spp, C, 4] -> [H, W, 4, C]    (polarized: Stokes-major channel layout
+                      I/Q/U/V[.lambda], reference: integrator.cpp:1189-1235)"""
+    rest = values.shape[1:]
+    img = values.reshape((film.height, film.width, spp) + rest)
+    img = jnp.mean(img, axis=2)
+    if len(rest) == 2:  # [C, 4] -> [4, C]
+        img = jnp.swapaxes(img, -1, -2)
+    return img

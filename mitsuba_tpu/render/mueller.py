@@ -215,25 +215,30 @@ def rotate_mueller_basis_collinear(M, forward, basis_current, basis_target):
     return R @ M @ jnp.swapaxes(R, -1, -2)
 
 
-def mueller_to_world(M, wi_local, wo_local, to_world3):
-    """Rotate a local-frame Mueller matrix (defined w.r.t. the implicit Stokes
-    bases of -wi_local and wo_local) into world-frame implicit bases.
+def to_world_mueller(M, in_forward_local, out_forward_local, to_world3):
+    """Rotate a local-frame Mueller matrix into world-frame implicit bases.
 
-    Mirrors SurfaceInteraction::to_world_mueller
-    (reference: include/mitsuba/render/interaction.h:374-460): the matrix acts
-    on Stokes vectors propagating along -wi (toward the surface... in Mitsuba's
-    convention light flows against wi), and must be re-based from the local
-    implicit bases to the world implicit bases.
+    Mirrors SurfaceInteraction::to_world_mueller exactly
+    (reference: include/mitsuba/render/interaction.h:374-415): M operates from
+    stokes_basis(in_forward_local) to stokes_basis(out_forward_local), both
+    given along the *propagation direction of light* in the local frame; the
+    result operates between the implicit world bases of the same directions.
 
-    to_world3: [..., 3, 3] rotation (frame s/t/n as columns)."""
-    in_fwd_l = -wi_local
-    out_fwd_l = wo_local
-    in_fwd_w = jnp.einsum("...ij,...j->...i", to_world3, in_fwd_l)
-    out_fwd_w = jnp.einsum("...ij,...j->...i", to_world3, out_fwd_l)
-    in_basis_cur = jnp.einsum("...ij,...j->...i", to_world3, stokes_basis(in_fwd_l))
-    out_basis_cur = jnp.einsum("...ij,...j->...i", to_world3, stokes_basis(out_fwd_l))
+    to_world3: [..., 3, 3] rotation (frame s/t/n as columns).  M may carry a
+    channel axis: [..., C, 4, 4] with the direction batch dims leading."""
+    def tw(v):
+        return jnp.einsum("...ij,...j->...i", to_world3, v)
+
+    in_fwd_w = tw(in_forward_local)
+    out_fwd_w = tw(out_forward_local)
+    in_basis_cur = tw(stokes_basis(in_forward_local))
+    out_basis_cur = tw(stokes_basis(out_forward_local))
     in_basis_tgt = stokes_basis(in_fwd_w)
     out_basis_tgt = stokes_basis(out_fwd_w)
-    return rotate_mueller_basis(
-        M, in_fwd_w, in_basis_cur, in_basis_tgt, out_fwd_w, out_basis_cur, out_basis_tgt
-    )
+    R_in = rotate_stokes_basis(in_fwd_w, in_basis_cur, in_basis_tgt)
+    R_out = rotate_stokes_basis(out_fwd_w, out_basis_cur, out_basis_tgt)
+    # insert the channel axis of M: rotations depend only on directions
+    if M.ndim == R_in.ndim + 1:
+        R_in = R_in[..., None, :, :]
+        R_out = R_out[..., None, :, :]
+    return R_out @ M @ jnp.swapaxes(R_in, -1, -2)

@@ -18,13 +18,29 @@ from flax import struct
 
 from ..core import warp
 from ..core.math import INV_FOUR_PI
+from ..core.frame import cross, normalize
+from . import mueller as mu
 
 
-def _flip_z(wo):
-    """Map a direction sampled around the propagation axis (+z) to the local
-    convention where cos(theta)=dot(wi,wo), wi=(0,0,-1): theta is measured
-    from +z propagation, and wo already is in the propagation frame."""
-    return wo
+def rotate_phase_mueller(M, wo_hat, wi_hat):
+    """Rotate a scattering-plane-basis phase Mueller matrix to the implicit
+    local Stokes bases of -wo_hat (in) and wi_hat (out) — the pattern of
+    tabphase_polarized.cpp:168-196: the matrix's reference vector lies IN the
+    scattering plane; collinear directions produce NaN -> zeroed entries.
+
+    M: [N, C, 4, 4]; wo_hat/wi_hat: [N, 3] (light arrives along -wo_hat,
+    leaves along +wi_hat)."""
+    x_hat = cross(-wo_hat, wi_hat)
+    p_axis_in = normalize(cross(x_hat, -wo_hat))
+    p_axis_out = normalize(cross(x_hat, wi_hat))
+    out = mu.rotate_mueller_basis(
+        M,
+        -wo_hat[..., None, :], p_axis_in[..., None, :],
+        mu.stokes_basis(-wo_hat)[..., None, :],
+        wi_hat[..., None, :], p_axis_out[..., None, :],
+        mu.stokes_basis(wi_hat)[..., None, :],
+    )
+    return jnp.nan_to_num(out)
 
 
 @struct.dataclass
@@ -94,6 +110,22 @@ class RayleighPhase:
         val = self._phase_value(cos_theta)
         pdf = warp.square_to_rayleigh_pdf(wo)
         return jnp.broadcast_to(val[..., None], val.shape + (n_channels,)), pdf
+
+    def eval_pdf_mueller(self, mei, wo, wavelengths, n_channels):
+        """Polarized Rayleigh: full Mueller matrix in local implicit bases
+        (reference: src/phase/rayleigh.cpp:42-48 + mueller::rayleigh_scatter,
+        mueller.h:311-328).  Physics convention: cos_theta = -dot(wo, wi),
+        wi = (0,0,-1) local => cos_theta = wo_z."""
+        cos_theta = wo[..., 2]
+        sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta**2, 0.0))
+        M = mu.rayleigh_scatter(cos_theta, sin_theta, self.rho)  # [N,4,4]
+        M = jnp.broadcast_to(M[..., None, :, :], M.shape[:-2] + (n_channels, 4, 4))
+        wi_hat = jnp.broadcast_to(
+            jnp.asarray([0.0, 0.0, -1.0], jnp.float32), wo.shape
+        )
+        M = rotate_phase_mueller(M, wo, wi_hat)
+        pdf = warp.square_to_rayleigh_pdf(wo)
+        return M, pdf
 
 
 @struct.dataclass

@@ -227,6 +227,99 @@ class Scene:
             weight = jnp.where(m[..., None], w_i, weight)
         return bs, weight
 
+    # -- polarized dispatch: Mueller weights in world implicit bases --------
+    def bsdf_eval_pdf_pol(self, si, wo, wavelengths, active):
+        """Polarized eval: [N, C, 4, 4] world-frame Mueller f*cos weight.
+        BSDFs without a polarized eval depolarize (reference behavior for
+        diffuse, src/bsdfs/diffuse.cpp polarized branch)."""
+        from . import mueller as mu
+        from .spectrum_ops import depolarizer_weight
+
+        n_lanes = si.p.shape[0]
+        b_idx = self.bsdf_index_at(si)
+        M = jnp.zeros((n_lanes, self.n_channels, 4, 4), jnp.float32)
+        pdf = jnp.zeros((n_lanes,), jnp.float32)
+        for i, b in enumerate(self.bsdfs):
+            m = (b_idx == i) & active
+            if not b.flags_smooth:
+                continue
+            if hasattr(b, "eval_pdf_mueller"):
+                M_i, p_i = b.eval_pdf_mueller(si, wo, wavelengths, self.n_channels)
+            else:
+                v_i = b.eval(si, wo, wavelengths, self.n_channels)
+                p_i = b.pdf(si, wo)
+                M_i = depolarizer_weight(v_i)
+            M = jnp.where(m[..., None, None, None], M_i, M)
+            pdf = jnp.where(m, p_i, pdf)
+        M = mu.to_world_mueller(M, -wo, si.wi, si.to_world_mat3())
+        return M, pdf
+
+    def bsdf_sample_pol(self, si, u_lobe, u2, wavelengths, active):
+        """Polarized sample: (BSDFSample, [N, C, 4, 4] world-frame weight)."""
+        from . import mueller as mu
+        from .records import BSDFSample
+        from .spectrum_ops import depolarizer_weight
+
+        n_lanes = si.p.shape[0]
+        b_idx = self.bsdf_index_at(si)
+        bs = BSDFSample(
+            wo=jnp.tile(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), (n_lanes, 1)),
+            pdf=jnp.zeros((n_lanes,)),
+            eta=jnp.ones((n_lanes,)),
+            delta=jnp.zeros((n_lanes,), bool),
+        )
+        M = jnp.zeros((n_lanes, self.n_channels, 4, 4), jnp.float32)
+        for i, b in enumerate(self.bsdfs):
+            m = (b_idx == i) & active
+            if hasattr(b, "sample_pol"):
+                bs_i, M_i = b.sample_pol(u_lobe, u2, si, wavelengths, self.n_channels)
+            else:
+                from .bsdfs import NullBSDF
+                from .spectrum_ops import identity_weight
+
+                bs_i, w_i = b.sample(u_lobe, u2, si, wavelengths, self.n_channels)
+                if isinstance(b, NullBSDF):
+                    M_i = identity_weight(w_i)   # polarization-preserving pass-through
+                else:
+                    M_i = depolarizer_weight(w_i)
+            bs = BSDFSample(
+                wo=jnp.where(m[..., None], bs_i.wo, bs.wo),
+                pdf=jnp.where(m, bs_i.pdf, bs.pdf),
+                eta=jnp.where(m, bs_i.eta, bs.eta),
+                delta=jnp.where(m, bs_i.delta, bs.delta),
+            )
+            M = jnp.where(m[..., None, None, None], M_i, M)
+        M = mu.to_world_mueller(M, -bs.wo, si.wi, si.to_world_mat3())
+        return bs, M
+
+    def phase_eval_pdf_pol(self, phase_idx, mei, wo, wavelengths, active):
+        from . import mueller as mu
+        from .spectrum_ops import depolarizer_weight
+
+        n = phase_idx.shape[0]
+        M = jnp.zeros((n, self.n_channels, 4, 4), jnp.float32)
+        pdf = jnp.zeros((n,), jnp.float32)
+        for i, ph in enumerate(self.phases):
+            m = (phase_idx == i) & active
+            if hasattr(ph, "eval_pdf_mueller"):
+                M_i, p_i = ph.eval_pdf_mueller(mei, wo, wavelengths, self.n_channels)
+            else:
+                v_i, p_i = ph.eval_pdf(mei, wo, wavelengths, self.n_channels)
+                M_i = depolarizer_weight(v_i)
+            M = jnp.where(m[..., None, None, None], M_i, M)
+            pdf = jnp.where(m, p_i, pdf)
+        wi_hat = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0], jnp.float32), wo.shape)
+        mat3 = jnp.stack([mei.sh_s, mei.sh_t, mei.sh_n], axis=-1)
+        M = mu.to_world_mueller(M, -wo, wi_hat, mat3)
+        return M, pdf
+
+    def phase_sample_pol(self, phase_idx, mei, u1, u2, wavelengths, active):
+        """Returns (wo_local, M_world [N,C,4,4] weight = eval/pdf, pdf)."""
+        wo, weight, pdf = self.phase_sample(phase_idx, mei, u1, u2, wavelengths, active)
+        M, _ = self.phase_eval_pdf_pol(phase_idx, mei, wo, wavelengths, active)
+        M = M / jnp.maximum(pdf, 1e-12)[..., None, None, None]
+        return wo, M, pdf
+
     @property
     def bbox_radius(self):
         return 0.5 * jnp.sqrt(jnp.sum((self.bbox_max - self.bbox_min) ** 2))

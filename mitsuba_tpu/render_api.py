@@ -69,6 +69,28 @@ def make_wavefront(scene, seed, lane0, n, pass_base, spp_pass, spp_total, sensor
     return rng, ray, wavelengths, wl_pdf
 
 
+def to_sensor_mueller(ray_d, L):
+    """Rotate per-lane Stokes vectors from the camera ray's implicit basis to
+    the global basis perpendicular to the vertical (+z), per Chowdhary et al.
+    2020 (reference: to_sensor_mueller, common.py:304-326,
+    integrator.cpp:1245-1267) — required so Stokes vectors from different rays
+    can be summed.  L: [N, C, 4]."""
+    from .render import mueller as mu
+    from .core.frame import cross, normalize
+
+    fwd = -ray_d
+    current = mu.stokes_basis(fwd)
+    vertical = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+    tmp = cross(fwd, jnp.broadcast_to(vertical, fwd.shape))
+    is_vertical = jnp.sum(tmp * tmp, axis=-1, keepdims=True) < 1e-24
+    fallback = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], jnp.float32), fwd.shape)
+    target = jnp.where(
+        is_vertical, fallback, cross(fwd, normalize(jnp.where(is_vertical, fallback, tmp)))
+    )
+    R = mu.rotate_stokes_basis(fwd, current, target)       # [N, 4, 4]
+    return jnp.einsum("nij,ncj->nci", R, L)
+
+
 def render_lanes(scene, seed, lane0, n, pass_base, spp_pass, spp_total, sensor_idx):
     """Render lanes [lane0, lane0+n) of a wavefront pass."""
     rng, ray, wavelengths, wl_pdf = make_wavefront(
@@ -76,6 +98,8 @@ def render_lanes(scene, seed, lane0, n, pass_base, spp_pass, spp_total, sensor_i
     )
     active = jnp.ones((n,), bool)
     L, aux = scene.integrator.sample(scene, rng, ray, wavelengths, active)
+    if scene.polarized and L.ndim == 3:
+        L = to_sensor_mueller(ray.d, L)
     return L, wavelengths, wl_pdf, aux
 
 
@@ -115,8 +139,9 @@ def render(scene, params=None, sensor=0, seed=0, spp=None, spp_per_pass=None):
             L, wavelengths, wl_pdf, _ = _render_pass(
                 scene, jnp.uint32(seed), p * spp_per_pass, this_spp, spp, sensor
             )
-        if scene.n_channels == 4 and wavelengths is not None:
-            # spectral -> XYZ -> linear sRGB per lane
+        if scene.n_channels == 4 and wavelengths is not None and not scene.polarized:
+            # spectral -> XYZ -> linear sRGB per lane (polarized variants keep
+            # raw I/Q/U/V[.lambda] channels, reference: integrator.cpp:1189)
             xyz = spec.spectrum_to_xyz(L, wavelengths, jax.lax.stop_gradient(wl_pdf))
             L = jnp.clip(spec.xyz_to_srgb(xyz), 0.0, None)
         img = develop(film, L, this_spp)
