@@ -329,6 +329,191 @@ class RoughConductorBSDF:
 
 
 @struct.dataclass
+class RoughDielectricBSDF:
+    """GGX rough dielectric with reflection + transmission (Walter et al.
+    2007; reference: src/bsdfs/roughdielectric.cpp:251-560).  This is the
+    AOS ocean-interface BSDF (reference: test_ad_volpathaos.py configs).
+    Standard Smith G = G1*G1 is used in eval (the fork sets G=1 there,
+    roughdielectric.cpp:467 — we keep the self-consistent form so that
+    sample weight == eval/pdf)."""
+
+    eta: jnp.ndarray
+    alpha: jnp.ndarray
+    specular_reflectance: object
+    specular_transmittance: object
+
+    flags_smooth = True
+    flags_transmission = True
+    is_refractive_interface = True
+
+    def _half_vector(self, wi, wo, reflect_mask):
+        eta = jnp.where(wi[..., 2] > 0, self.eta, 1.0 / self.eta)
+        m = normalize(wi + wo * jnp.where(reflect_mask, 1.0, eta)[..., None])
+        return jnp.where(m[..., 2:3] < 0, -m, m), eta
+
+    def eval(self, si, wo, wavelengths, n_channels):
+        wi = si.wi
+        cos_i = wi[..., 2]
+        cos_o = wo[..., 2]
+        reflect_m = cos_i * cos_o > 0
+        m, eta = self._half_vector(wi, wo, reflect_m)
+        inv_eta = 1.0 / eta
+        valid = (
+            (jnp.abs(cos_i) > 1e-6)
+            & (jnp.sum(wi * m, axis=-1) * cos_i > 0)
+            & (jnp.sum(wo * m, axis=-1) * cos_o > 0)
+        )
+        d = mf.ggx_d(m, self.alpha, self.alpha)
+        g = mf.smith_g1_ggx(jnp.where(cos_i[..., None] > 0, wi, -wi), m, self.alpha, self.alpha) * \
+            mf.smith_g1_ggx(jnp.where(cos_o[..., None] > 0, wo, -wo), m, self.alpha, self.alpha)
+        f, _, _, _ = fresnel(jnp.sum(wi * m, axis=-1), self.eta)
+
+        # reflection: F D G / (4 |cos_i|)
+        val_r = f * d * g / (4.0 * jnp.abs(cos_i))
+        # transmission (Walter eq. 21 + radiance scale 1/eta^2)
+        wim = jnp.sum(wi * m, axis=-1)
+        wom = jnp.sum(wo * m, axis=-1)
+        denom = (wim + eta * wom) ** 2
+        val_t = jnp.abs(
+            (inv_eta**2) * (1.0 - f) * d * g * eta * eta * wim * wom
+            / (cos_i * jnp.maximum(denom, 1e-12))
+        )
+        val = jnp.where(reflect_m, val_r, val_t)
+        val = jnp.where(valid, val, 0.0)
+        refl = self.specular_reflectance.eval(si.uv, wavelengths, n_channels)
+        trans = self.specular_transmittance.eval(si.uv, wavelengths, n_channels)
+        scalar = jnp.where(reflect_m[..., None], refl, trans)
+        return val[..., None] * scalar
+
+    def pdf(self, si, wo):
+        wi = si.wi
+        cos_i = wi[..., 2]
+        cos_o = wo[..., 2]
+        reflect_m = cos_i * cos_o > 0
+        m, eta = self._half_vector(wi, wo, reflect_m)
+        valid = (
+            (jnp.abs(cos_i) > 1e-6)
+            & (jnp.sum(wi * m, axis=-1) * cos_i > 0)
+            & (jnp.sum(wo * m, axis=-1) * cos_o > 0)
+        )
+        wim = jnp.sum(wi * m, axis=-1)
+        wom = jnp.sum(wo * m, axis=-1)
+        dwh_dwo = jnp.where(
+            reflect_m,
+            1.0 / jnp.maximum(4.0 * jnp.abs(wom), 1e-12),
+            (eta * eta * jnp.abs(wom)) / jnp.maximum((wim + eta * wom) ** 2, 1e-12),
+        )
+        wi_up = jnp.where(cos_i[..., None] > 0, wi, -wi)
+        pdf_m = mf.ggx_pdf_visible(wi_up, m, self.alpha, self.alpha)
+        f, _, _, _ = fresnel(wim, self.eta)
+        lobe = jnp.where(reflect_m, f, 1.0 - f)
+        return jnp.where(valid, pdf_m * lobe * dwh_dwo, 0.0)
+
+    def sample(self, u_lobe, u2, si, wavelengths, n_channels):
+        wi = si.wi
+        cos_i = wi[..., 2]
+        wi_up = jnp.where(cos_i[..., None] > 0, wi, -wi)
+        m = mf.ggx_sample_vndf(wi_up, u2[..., 0], u2[..., 1], self.alpha, self.alpha)
+        m = jnp.where(cos_i[..., None] > 0, m, -m)   # align with wi hemisphere
+        wim = jnp.sum(wi * m, axis=-1)
+        f, cos_theta_t, eta_it, eta_ti = fresnel(wim, self.eta)
+        pick_reflect = u_lobe <= f
+        wo_r = 2.0 * wim[..., None] * m - wi
+        # refract about m (fresnel.h refract w.r.t. arbitrary normal)
+        wo_t = (eta_ti[..., None]) * (-wi) + (
+            eta_ti * wim + cos_theta_t
+        )[..., None] * m
+        wo = jnp.where(pick_reflect[..., None], wo_r, wo_t)
+        pdf = self.pdf(si, wo)
+        val = self.eval(si, wo, wavelengths, n_channels)
+        weight = jnp.where(
+            (pdf > 1e-10)[..., None], val / jnp.maximum(pdf, 1e-10)[..., None], 0.0
+        )
+        bs = BSDFSample(
+            wo=wo,
+            pdf=pdf,
+            eta=jnp.where(pick_reflect, 1.0, eta_it),
+            delta=jnp.zeros(pdf.shape, bool),
+        )
+        return bs, weight
+
+    def sample_pol(self, u_lobe, u2, si, wavelengths, n_channels):
+        """Polarized sample: Mueller weight = eval_mueller / pdf at the
+        sampled direction (keeps sampled specular bounces polarized)."""
+        bs, _ = self.sample(u_lobe, u2, si, wavelengths, n_channels)
+        M, pdf = self.eval_pdf_mueller(si, bs.wo, wavelengths, n_channels)
+        Mw = jnp.where(
+            (pdf > 1e-10)[..., None, None, None],
+            M / jnp.maximum(pdf, 1e-10)[..., None, None, None],
+            0.0,
+        )
+        return bs, Mw
+
+    def sample_transmission(self, u2, wi):
+        """Sample only the transmission lobe — the AOS refractive-NEE proposal
+        (reference: volpathaos.cpp:318-337, ctx.type_mask = Glossy|Delta
+        Transmission).  Returns (wo, pdf) with pdf excluding the Fresnel lobe
+        factor (single-lobe context)."""
+        cos_i = wi[..., 2]
+        wi_up = jnp.where(cos_i[..., None] > 0, wi, -wi)
+        m = mf.ggx_sample_vndf(wi_up, u2[..., 0], u2[..., 1], self.alpha, self.alpha)
+        m = jnp.where(cos_i[..., None] > 0, m, -m)
+        wim = jnp.sum(wi * m, axis=-1)
+        f, cos_theta_t, eta_it, eta_ti = fresnel(wim, self.eta)
+        wo = (eta_ti[..., None]) * (-wi) + (eta_ti * wim + cos_theta_t)[..., None] * m
+        wom = jnp.sum(wo * m, axis=-1)
+        eta = jnp.where(cos_i > 0, self.eta, 1.0 / self.eta)
+        dwh_dwo = (eta * eta * jnp.abs(wom)) / jnp.maximum((wim + eta * wom) ** 2, 1e-12)
+        pdf_m = mf.ggx_pdf_visible(wi_up, jnp.where(cos_i[..., None] > 0, m, -m), self.alpha, self.alpha)
+        tir = cos_theta_t == 0.0
+        pdf = jnp.where(tir, 0.0, pdf_m * dwh_dwo)
+        return wo, pdf
+
+    def eval_pdf_mueller(self, si, wo, wavelengths, n_channels):
+        """Polarized eval: Fresnel Mueller around the microfacet normal
+        (reference: roughdielectric.cpp:472-505), scaled by the scalar
+        D G / ... magnitude with the Fresnel factor divided back out."""
+        wi = si.wi
+        cos_i = wi[..., 2]
+        cos_o = wo[..., 2]
+        reflect_m = cos_i * cos_o > 0
+        m, _ = self._half_vector(wi, wo, reflect_m)
+        val = self.eval(si, wo, wavelengths, n_channels)   # [N, C]
+        pdf = self.pdf(si, wo)
+        wo_hat = wo
+        wi_hat = wi
+        cos_o_hat = jnp.sum(wo_hat * m, axis=-1)
+        R = mu.specular_reflection(cos_o_hat[..., None], jnp.asarray(self.eta, jnp.complex64))
+        T = mu.specular_transmission(cos_o_hat[..., None], self.eta)
+        M = jnp.where(reflect_m[..., None, None, None], R, T)
+        M = jnp.broadcast_to(M, M.shape[:-3] + (n_channels, 4, 4))
+        # normalize so M00 == 1, then scale by the unpolarized magnitude
+        m00 = M[..., 0:1, 0:1]
+        M = jnp.where(jnp.abs(m00) > 1e-12, M / jnp.where(jnp.abs(m00) > 1e-12, m00, 1.0), 0.0)
+        M = rotate_specular_mueller_m(M, wo_hat, wi_hat, m)
+        M = M * val[..., None, None]
+        return jnp.nan_to_num(M), pdf
+
+
+def rotate_specular_mueller_m(M, wo_hat, wi_hat, m_normal):
+    """Like rotate_specular_mueller but with the s-axis built from the
+    microfacet normal m (reference: roughdielectric.cpp:491-499)."""
+    s_axis_in = cross(m_normal, -wo_hat)
+    s_axis_out = cross(m_normal, wi_hat)
+    collinear = jnp.sum(s_axis_in * s_axis_in, axis=-1, keepdims=True) < 1e-16
+    fallback = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], jnp.float32), wo_hat.shape)
+    s_axis_in = jnp.where(collinear, fallback, normalize(jnp.where(collinear, fallback, s_axis_in)))
+    s_axis_out = jnp.where(collinear, fallback, normalize(jnp.where(collinear, fallback, s_axis_out)))
+    return mu.rotate_mueller_basis(
+        M,
+        -wo_hat[..., None, :], s_axis_in[..., None, :],
+        mu.stokes_basis(-wo_hat)[..., None, :],
+        wi_hat[..., None, :], s_axis_out[..., None, :],
+        mu.stokes_basis(wi_hat)[..., None, :],
+    )
+
+
+@struct.dataclass
 class TwoSidedBSDF:
     """Two-sided adapter: flips the frame for backside hits
     (reference: src/bsdfs/twosided.cpp)."""

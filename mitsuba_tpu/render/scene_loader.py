@@ -22,7 +22,7 @@ from .scene import Scene
 
 BSDF_TYPES = {
     "diffuse", "dielectric", "thindielectric", "conductor", "roughconductor",
-    "roughplastic", "plastic", "twosided", "null", "mask",
+    "roughdielectric", "roughplastic", "plastic", "twosided", "null", "mask",
 }
 SHAPE_TYPES = {"rectangle", "cube", "sphere", "obj", "disk"}
 EMITTER_TYPES = {"constant", "point", "directional", "envmap", "spot"}
@@ -192,6 +192,25 @@ def parse_bsdf(spec, name, paths):
         st, _ = parse_texture(spec.get("specular_transmittance", 1.0))
         return B.SmoothDielectricBSDF(
             eta=jnp.asarray(int_ior / ext_ior, jnp.float32),
+            specular_reflectance=sr, specular_transmittance=st,
+        )
+    if t == "roughdielectric":
+        int_ior = _ior(spec.get("int_ior"), 1.5046)
+        ext_ior = _ior(spec.get("ext_ior"), 1.000277)
+        if "eta" in spec:
+            eta = float(spec["eta"])
+        else:
+            eta = int_ior / ext_ior
+        alpha = spec.get("alpha", 0.1)
+        if isinstance(alpha, dict):
+            alpha = float(alpha.get("value", 0.1))
+        sr, _ = parse_texture(spec.get("specular_reflectance", 1.0))
+        st, _ = parse_texture(spec.get("specular_transmittance", 1.0))
+        paths.append((f"{name}.eta", ("eta",)))
+        paths.append((f"{name}.alpha.value", ("alpha",)))
+        return B.RoughDielectricBSDF(
+            eta=jnp.asarray(eta, jnp.float32),
+            alpha=jnp.asarray(float(alpha), jnp.float32),
             specular_reflectance=sr, specular_transmittance=st,
         )
     if t == "thindielectric":
