@@ -54,7 +54,7 @@ def make_integrator(spec):
 
         return AOVIntegrator(aovs=str(spec.get("aovs", "dd.y:depth")))
     if t == "stokes":
-        from .stokes import StokesIntegrator
+        from .aov import StokesIntegrator
 
         nested = None
         for v in spec.values():
@@ -62,7 +62,7 @@ def make_integrator(spec):
                 nested = make_integrator(v)
         return StokesIntegrator(nested=nested)
     if t == "moment":
-        from .moment import MomentIntegrator
+        from .aov import MomentIntegrator
 
         nested = None
         for v in spec.values():

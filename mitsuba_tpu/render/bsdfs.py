@@ -424,10 +424,18 @@ class RoughDielectricBSDF:
             eta_ti * wim + cos_theta_t
         )[..., None] * m
         wo = jnp.where(pick_reflect[..., None], wo_r, wo_t)
-        pdf = self.pdf(si, wo)
+        # filter micro/macro hemisphere disagreement with the *sampled* m
+        # (reference: roughdielectric.cpp:330-333) — e.g. reflections off
+        # grazing microfacets that point below the macro horizon; without
+        # this the pdf misclassifies them as transmission
+        wom_s = jnp.sum(wo * m, axis=-1)
+        agree = (wim * cos_i > 0) & (wom_s * wo[..., 2] > 0)
+        pdf = jnp.where(agree, self.pdf(si, wo), 0.0)
         val = self.eval(si, wo, wavelengths, n_channels)
         weight = jnp.where(
-            (pdf > 1e-10)[..., None], val / jnp.maximum(pdf, 1e-10)[..., None], 0.0
+            (agree & (pdf > 1e-10))[..., None],
+            val / jnp.maximum(pdf, 1e-10)[..., None],
+            0.0,
         )
         bs = BSDFSample(
             wo=wo,

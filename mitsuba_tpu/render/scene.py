@@ -36,6 +36,7 @@ class Scene:
     n_channels: int = struct.field(pytree_node=False)
     polarized: bool = struct.field(pytree_node=False)
     camera_medium: int = struct.field(pytree_node=False, default=-1)
+    sampler_type: str = struct.field(pytree_node=False, default="independent")
     # (key, path) pairs for traverse()/SceneParameters; static metadata
     param_paths: tuple = struct.field(pytree_node=False, default=())
 

@@ -277,6 +277,7 @@ def load_dict(d):
     d = dict(d)
     d.pop("type", None)
 
+    sampler_type = "independent"
     named_bsdfs = {}      # id -> (index, instance)
     bsdf_list = []
     bsdf_paths = []       # (key, subpath) relative to instance; rewritten below
@@ -337,7 +338,7 @@ def load_dict(d):
         if t == "integrator" or t in INTEGRATOR_TYPES:
             integrator_spec = spec
         elif t in SENSOR_TYPES:
-            sensor, film, spp = parse_sensor(spec)
+            sensor, film, spp, sampler_type = parse_sensor(spec)
         elif t in EMITTER_TYPES:
             emitter_list.append(("env" if t in ("constant", "envmap") else "delta", name, spec))
         elif t in SHAPE_TYPES:
@@ -547,6 +548,7 @@ def load_dict(d):
         env_emitter=env_emitter,
         n_channels=var.n_channels,
         polarized=var.polarized,
+        sampler_type=sampler_type,
         param_paths=tuple(param_paths),
     )
     return scene
@@ -566,7 +568,9 @@ def parse_sensor(spec):
     rfilter = film_spec.get("rfilter", {"type": "gaussian"})
     rf_type = rfilter["type"] if isinstance(rfilter, dict) else str(rfilter)
     film = Film(width=w, height=h, rfilter=rf_type)
-    spp = int(spec.get("sampler", {}).get("sample_count", 16))
+    sampler_spec = spec.get("sampler", {})
+    spp = int(sampler_spec.get("sample_count", 16))
+    sampler_type = str(sampler_spec.get("type", "independent"))
     to_world = build_transform(spec.get("to_world", Transform.identity()))
     aspect = w / h
 
@@ -617,7 +621,7 @@ def parse_sensor(spec):
         )
     else:
         raise ValueError(f"unknown sensor type {t!r}")
-    return cam, film, spp
+    return cam, film, spp, sampler_type
 
 
 def load_file(path, **defaults):

@@ -47,7 +47,23 @@ def make_wavefront(scene, seed, lane0, n, pass_base, spp_pass, spp_total, sensor
     ax, ay, rng = rng.next_2d()
     uw, _, rng = rng.next_2d()
 
-    jitter = sample_filter_offset(film.rfilter, jnp.stack([jx, jy], axis=-1))
+    # film-plane sample point: stratified/low-discrepancy samplers act on
+    # the jitter dimension (reference: src/samplers/*; see render/samplers.py)
+    u_film = jnp.stack([jx, jy], axis=-1)
+    stype = getattr(scene, "sampler_type", "independent")
+    if stype in ("stratified",):
+        from .render.samplers import stratified_2d
+
+        u_film = stratified_2d(s_local, spp_total, u_film)
+    elif stype in ("multijitter", "orthogonal"):
+        from .render.samplers import multijitter_2d
+
+        u_film = multijitter_2d(s_local, spp_total, pix, seed)
+    elif stype in ("ldsampler", "sobol"):
+        from .render.samplers import sobol_2d
+
+        u_film = sobol_2d(s_local, pix, seed)
+    jitter = sample_filter_offset(film.rfilter, u_film)
     px = (pix % jnp.uint32(film.width)).astype(jnp.float32)
     py = (pix // jnp.uint32(film.width)).astype(jnp.float32)
     pos = (jnp.stack([px, py], axis=-1) + jitter) / jnp.asarray(
@@ -121,6 +137,9 @@ def render(scene, params=None, sensor=0, seed=0, spp=None, spp_per_pass=None):
     spp_per_pass = min(spp_per_pass or spp, spp)
     n_passes = (spp + spp_per_pass - 1) // spp_per_pass
 
+    if getattr(scene.integrator, "is_ptracer", False):
+        return _render_ptracer(scene, seed, spp, sensor)
+
     use_prb = getattr(scene.integrator, "is_prb", False)
     acc = None
     for p in range(n_passes):
@@ -147,6 +166,23 @@ def render(scene, params=None, sensor=0, seed=0, spp=None, spp_per_pass=None):
         img = develop(film, L, this_spp)
         acc = img * this_spp if acc is None else acc + img * this_spp
     return acc / spp
+
+
+@partial(jax.jit, static_argnames=("spp", "sensor_idx"))
+def _ptracer_pass(scene, seed, spp, sensor_idx):
+    film = scene.film
+    n = film.width * film.height * spp
+    rng = RNG(seed, jnp.arange(n, dtype=jnp.uint32))
+    wavelengths = None  # ptracer: rgb/mono paths
+    acc = scene.integrator.trace_particles(scene, rng, n, wavelengths, sensor_idx)
+    # each particle contributes an unbiased per-pixel measurement sample
+    return (acc / n).reshape(film.height, film.width, -1)
+
+
+def _render_ptracer(scene, seed, spp, sensor_idx):
+    """Adjoint particle tracing render: N = W*H*spp particles splatted
+    (reference: AdjointIntegrator::render, integrator.cpp:1304+)."""
+    return _ptracer_pass(scene, jnp.uint32(seed), spp, sensor_idx)
 
 
 def _prb_pass_jit(scene, seed, pass_base, spp_pass, spp_total, sensor_idx):

@@ -6,9 +6,13 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "backend_optimization_level" not in flags:
+    # LLVM O3 codegen goes pathological (hours) on some fused render graphs
+    # (e.g. the ptracer camera-connection block); O1 compiles them in seconds
+    # and is plenty for correctness tests.  TPU compiles are unaffected.
+    flags = (flags + " --xla_backend_optimization_level=1").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import pytest  # noqa: E402
 
