@@ -49,7 +49,7 @@ def _sample_emitter_ray(scene, u_sel, u_pos, u_dir, wavelengths):
         if hasattr(em, "tri_index"):          # area emitter
             scaled = u_pos[..., 0] * em.total_area
             k = jnp.clip(
-                jnp.searchsorted(em.tri_cdf, scaled, side="right"), 0,
+                jnp.searchsorted(em.tri_cdf, scaled, side="right", method="compare_all"), 0,
                 em.tri_cdf.shape[0] - 1,
             )
             tri = em.tri_index[k]

@@ -1,0 +1,210 @@
+"""Pallas TPU closest-hit kernel.
+
+Replaces the XLA chunked-scan triangle sweep (render/shapes.py) on TPU: that
+path materializes [N, T] intermediates in HBM and is bandwidth-bound (~28
+Mray/s isolated on v5e for the cornell box).  Here ray blocks live in VMEM,
+the whole (padded) triangle table sits in SMEM as scalars, and the
+Moller-Trumbore loop runs over triangles with the closest-hit reduction in
+registers — HBM traffic is one read of the rays and one write of the hits.
+
+Scope: scenes with up to MAX_SMEM_TRIS triangles (the acceptance configs are
+tens of triangles; a wide-BVH kernel takes over beyond this).  Gradients: the
+kernel is wrapped in a custom_vjp with *analytic* ray derivatives of the
+planar hit (dt/do = -n/(d.n), dt/dd = -t n/(d.n)); geometry arrays receive
+zero cotangents (shape optimization is handled by the projective layer, not
+by differentiating the intersection itself — matching the reference's
+detached-sampling integrators, prb.py)."""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MAX_SMEM_TRIS = 4096
+BLOCK_ROWS = 8          # sublanes per block
+LANES = 128             # lane width
+BLOCK = BLOCK_ROWS * LANES
+
+
+def _kernel(tri_ref, n_tri_ref, ox, oy, oz, dx, dy, dz, mt,
+            t_out, p_out, u_out, v_out):
+    o_x = ox[...]
+    o_y = oy[...]
+    o_z = oz[...]
+    d_x = dx[...]
+    d_y = dy[...]
+    d_z = dz[...]
+    maxt = mt[...]
+
+    best_t = maxt
+    best_p = jnp.full(o_x.shape, -1, jnp.int32)
+    best_u = jnp.zeros(o_x.shape, jnp.float32)
+    best_v = jnp.zeros(o_x.shape, jnp.float32)
+
+    n_tri = n_tri_ref[0]
+
+    def body(k, carry):
+        bt, bp, bu, bv = carry
+        v0x = tri_ref[k, 0]
+        v0y = tri_ref[k, 1]
+        v0z = tri_ref[k, 2]
+        e1x = tri_ref[k, 3]
+        e1y = tri_ref[k, 4]
+        e1z = tri_ref[k, 5]
+        e2x = tri_ref[k, 6]
+        e2y = tri_ref[k, 7]
+        e2z = tri_ref[k, 8]
+
+        # pvec = d x e2
+        pvx = d_y * e2z - d_z * e2y
+        pvy = d_z * e2x - d_x * e2z
+        pvz = d_x * e2y - d_y * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+        tvx = o_x - v0x
+        tvy = o_y - v0y
+        tvz = o_z - v0z
+        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+        # qvec = tvec x e1
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        v = (d_x * qvx + d_y * qvy + d_z * qvz) * inv_det
+        t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+        hit = (
+            (jnp.abs(det) > 1e-12)
+            & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t > 0.0) & (t < bt)
+        )
+        bt = jnp.where(hit, t, bt)
+        bp = jnp.where(hit, k, bp)
+        bu = jnp.where(hit, u, bu)
+        bv = jnp.where(hit, v, bv)
+        return bt, bp, bu, bv
+
+    best_t, best_p, best_u, best_v = jax.lax.fori_loop(
+        0, n_tri, body, (best_t, best_p, best_u, best_v)
+    )
+
+    t_out[...] = best_t
+    p_out[...] = best_p
+    u_out[...] = best_u
+    v_out[...] = best_v
+
+
+def _pallas_intersect(tri_table, n_tri, ox, oy, oz, dx, dy, dz, maxt):
+    """All ray components are [R, 128] with R a multiple of BLOCK_ROWS."""
+    R = ox.shape[0]
+    grid = (R // BLOCK_ROWS,)
+    interpret = jax.default_backend() == "cpu"   # CPU: Pallas interpreter (tests)
+
+    ray_spec = pl.BlockSpec(
+        (BLOCK_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out_specs = [
+        pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        for _ in range(4)
+    ]
+    return pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # tri table [T, 9]
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # n_tri [1]
+            ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
+        ],
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((R, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((R, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((R, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((R, LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(tri_table, n_tri, ox, oy, oz, dx, dy, dz, maxt)
+
+
+@jax.custom_vjp
+def tri_intersect(tri_table, n_tri, o, d, maxt):
+    """Closest-hit over a triangle table.
+
+    tri_table: [T, 9] (v0 | e1 | e2) float32 (T <= MAX_SMEM_TRIS)
+    o, d: [N, 3]; maxt: [N] (-inf disables a lane)
+    Returns (t [N] (inf on miss), prim [N] int32 (-1 on miss), u [N], v [N]).
+    """
+    return _tri_intersect_impl(tri_table, n_tri, o, d, maxt)
+
+
+def _tri_intersect_impl(tri_table, n_tri, o, d, maxt):
+    n = o.shape[0]
+    pad = (-n) % BLOCK
+    npad = n + pad
+
+    def to_blocks(x, fill):
+        x = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)]) if pad else x
+        return x.reshape(npad // LANES, LANES)
+
+    ox = to_blocks(o[:, 0], 0.0)
+    oy = to_blocks(o[:, 1], 0.0)
+    oz = to_blocks(o[:, 2], 0.0)
+    dx = to_blocks(d[:, 0], 0.0)
+    dy = to_blocks(d[:, 1], 0.0)
+    dz = to_blocks(d[:, 2], 1.0)
+    mt = to_blocks(maxt, -1.0)
+
+    t, p, u, v = _pallas_intersect(tri_table, n_tri, ox, oy, oz, dx, dy, dz, mt)
+
+    t = t.reshape(-1)[:n]
+    p = p.reshape(-1)[:n]
+    u = u.reshape(-1)[:n]
+    v = v.reshape(-1)[:n]
+    t = jnp.where(p >= 0, t, jnp.inf)
+    return t, p, u, v
+
+
+def _fwd(tri_table, n_tri, o, d, maxt):
+    out = _tri_intersect_impl(tri_table, n_tri, o, d, maxt)
+    t, p, u, v = out
+    return out, (tri_table, p, t, o, d)
+
+
+def _bwd(res, cts):
+    """Analytic ray derivatives of the planar hit; zero for geometry.
+
+    t(o, d) = dot(v0 - o, n) / dot(d, n):
+      dt/do = -n / (d.n)          dt/dd = -t n / (d.n)
+    Barycentric derivatives are omitted (uv cotangents are zero in all
+    integrator paths — uv feeds detached texture lookups)."""
+    tri_table, p, t, o, d = res
+    ct_t, ct_p, ct_u, ct_v = cts
+    safe_p = jnp.maximum(p, 0)
+    e1 = tri_table[safe_p, 3:6]
+    e2 = tri_table[safe_p, 6:9]
+    nrm = jnp.cross(e1, e2)
+    dn = jnp.sum(d * nrm, axis=-1)
+    valid = (p >= 0) & (jnp.abs(dn) > 1e-12)
+    inv_dn = jnp.where(valid, 1.0 / jnp.where(valid, dn, 1.0), 0.0)
+    dt_do = -nrm * inv_dn[:, None]
+    dt_dd = dt_do * t[:, None]
+    ct = jnp.where(valid, ct_t, 0.0)[:, None]
+    return (
+        jnp.zeros_like(tri_table),
+        np.zeros((1,), jax.dtypes.float0),   # n_tri (integer input)
+        ct * dt_do,
+        ct * dt_dd,
+        jnp.zeros_like(t),
+    )
+
+
+tri_intersect.defvjp(_fwd, _bwd)
+
+
+def build_tri_table(geometry):
+    """[T, 9] SMEM-resident triangle table from a Geometry (host-side)."""
+    return jnp.concatenate(
+        [geometry.tri_v0, geometry.tri_e1, geometry.tri_e2], axis=-1
+    ).astype(jnp.float32)

@@ -57,7 +57,7 @@ class AreaEmitter:
         n_lanes = ref_p.shape[0]
         # pick triangle by area
         scaled = u2[..., 0] * self.total_area
-        k = jnp.clip(jnp.searchsorted(self.tri_cdf, scaled, side="right"), 0, self.tri_cdf.shape[0] - 1)
+        k = jnp.clip(jnp.searchsorted(self.tri_cdf, scaled, side="right", method="compare_all"), 0, self.tri_cdf.shape[0] - 1)
         tri = self.tri_index[k]
         v0 = geom.tri_v0[tri]
         e1 = geom.tri_e1[tri]
@@ -301,7 +301,10 @@ class EnvmapEmitter:
         n_lanes = ref_p.shape[0]
         h, w = self.data.shape[0], self.data.shape[1]
         y = jnp.clip(
-            jnp.searchsorted(self.row_cdf, u2[..., 0] * self.row_cdf[-1], side="right"),
+            jnp.searchsorted(
+                self.row_cdf, u2[..., 0] * self.row_cdf[-1], side="right",
+                method="compare_all" if h <= 512 else "scan",
+            ),
             0, h - 1,
         )
         row = self.cond_cdf[y]

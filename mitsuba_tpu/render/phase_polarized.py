@@ -71,7 +71,7 @@ class TabPhasePolarized:
 
     def _interp(self, table, x):
         i = jnp.clip(
-            jnp.searchsorted(self.nodes, x, side="right") - 1, 0, self.nodes.shape[0] - 2
+            jnp.searchsorted(self.nodes, x, side="right", method="compare_all") - 1, 0, self.nodes.shape[0] - 2
         )
         x0 = self.nodes[i]
         x1 = self.nodes[i + 1]

@@ -148,13 +148,38 @@ def _intersect_tri_chunk(o, d, v0, e1, e2):
     return t, u, v, hit
 
 
+def _use_pallas(geom: Geometry) -> bool:
+    """Use the Pallas closest-hit kernel on TPU for SMEM-resident scenes
+    (mitsuba_tpu/ops/intersect.py); XLA chunked scan elsewhere."""
+    import jax as _jax
+    from ..ops.intersect import MAX_SMEM_TRIS
+
+    return (
+        _jax.default_backend() != "cpu"
+        and geom.n_tris <= MAX_SMEM_TRIS
+    )
+
+
 def ray_intersect_preliminary(geom: Geometry, ray: Ray, active=None):
     """Closest-hit query (reference: Scene::ray_intersect_preliminary,
-    src/render/scene.cpp:181-199).  Chunked scan over the triangle table keeps
-    the live intermediate at [N, TRI_CHUNK]."""
+    src/render/scene.cpp:181-199).  On TPU, triangles go through the Pallas
+    VMEM kernel; the XLA fallback is a chunked scan keeping the live
+    intermediate at [N, TRI_CHUNK]."""
     N = ray.o.shape[0]
     if active is None:
         active = jnp.ones((N,), bool)
+
+    if _use_pallas(geom):
+        from ..ops.intersect import build_tri_table, tri_intersect
+
+        tri_table = build_tri_table(geom)
+        n_tri = jnp.asarray([geom.n_tris], jnp.int32)
+        maxt = jnp.where(active, ray.maxt, -jnp.inf)
+        t_p, p_p, u_p, v_p = tri_intersect(tri_table, n_tri, ray.o, ray.d, maxt)
+        best_t = jnp.where(jnp.isfinite(t_p), t_p, jnp.where(active, ray.maxt, -jnp.inf))
+        best_prim = p_p
+        best_uv = jnp.stack([u_p, v_p], axis=-1)
+        return _sphere_pass(geom, ray, best_t, best_prim, best_uv)
 
     best_t = jnp.where(active, ray.maxt, -jnp.inf)  # inactive: reject all hits
     best_prim = jnp.full((N,), -1, jnp.int32)
@@ -184,7 +209,11 @@ def ray_intersect_preliminary(geom: Geometry, ray: Ray, active=None):
     (best_t, best_prim, best_uv), _ = jax.lax.scan(
         body, (best_t, best_prim, best_uv), (v0, e1, e2, bases)
     )
+    return _sphere_pass(geom, ray, best_t, best_prim, best_uv)
 
+
+def _sphere_pass(geom: Geometry, ray: Ray, best_t, best_prim, best_uv):
+    """Analytic-sphere closest-hit pass + final record assembly."""
     if geom.n_spheres > 0:
         # sphere quadratic: ||o + t d - c||^2 = r^2
         oc = ray.o[:, None, :] - geom.sph_center[None]        # [N,S,3]

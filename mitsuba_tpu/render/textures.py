@@ -197,7 +197,7 @@ class IrregularSpectrum:
         if wavelengths is None:
             return jnp.broadcast_to(jnp.mean(self.values), (n, n_channels))
         i = jnp.clip(
-            jnp.searchsorted(self.wavelengths_nodes, wavelengths, side="right") - 1,
+            jnp.searchsorted(self.wavelengths_nodes, wavelengths, side="right", method="compare_all") - 1,
             0,
             self.wavelengths_nodes.shape[0] - 2,
         )
