@@ -1,0 +1,144 @@
+"""Stackless threaded-BVH traversal (consumer of the native binned-SAH
+builder, native/src/bvh.cpp; the TPU replacement for Embree/kd-tree traversal,
+reference: src/render/scene_embree.inl, include/mitsuba/render/kdtree.h).
+
+The threaded layout stores a skip (miss) link per node, so wavefront traversal
+is a single lax.while_loop with one [N] node pointer per lane and no stack:
+
+    hit bbox + internal -> next = node + 1
+    hit bbox + leaf     -> intersect <= 8 prims, next = skip
+    miss                -> next = skip
+
+All lanes advance together; gathers are the per-step cost (O(depth) instead of
+the brute-force O(T) sweep), which is what makes >SMEM-size meshes viable.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def bvh_intersect(
+    bvh_lo, bvh_hi, bvh_skip, bvh_payload, tri_v0, tri_e1, tri_e2,
+    o, d, maxt, max_steps=4096,
+):
+    """Closest-hit over a threaded BVH.
+
+    Returns (t [N] (remains maxt on miss), prim [N] (-1 miss), u, v)."""
+    n = o.shape[0]
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, jnp.where(d >= 0, 1e-12, -1e-12), d)
+
+    state = dict(
+        node=jnp.zeros((n,), jnp.int32),
+        best_t=maxt,
+        best_p=jnp.full((n,), -1, jnp.int32),
+        best_u=jnp.zeros((n,), jnp.float32),
+        best_v=jnp.zeros((n,), jnp.float32),
+        alive=maxt > 0.0,
+        steps=jnp.asarray(0, jnp.int32),
+    )
+
+    def cond(s):
+        return jnp.any(s["alive"] & (s["node"] >= 0)) & (s["steps"] < max_steps)
+
+    def body(s):
+        node = jnp.maximum(s["node"], 0)
+        lo = bvh_lo[node]
+        hi = bvh_hi[node]
+        skip = bvh_skip[node]
+        payload = bvh_payload[node]
+
+        # slab test against the current best_t
+        t0 = (lo - o) * inv_d
+        t1 = (hi - o) * inv_d
+        tmin = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        tmax = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        hit_box = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < s["best_t"])
+
+        is_leaf = payload != 0
+        start = payload >> 4
+        count = payload & 0xF
+
+        bt, bp, bu, bv = s["best_t"], s["best_p"], s["best_u"], s["best_v"]
+        do_leaf = s["alive"] & (s["node"] >= 0) & hit_box & is_leaf
+        for j in range(8):      # kMaxLeaf in native/src/bvh.cpp
+            pid = start + j
+            in_leaf = do_leaf & (j < count)
+            pid_safe = jnp.clip(pid, 0, tri_v0.shape[0] - 1)
+            v0 = tri_v0[pid_safe]
+            e1 = tri_e1[pid_safe]
+            e2 = tri_e2[pid_safe]
+            pvec = jnp.cross(d, e2)
+            det = jnp.sum(e1 * pvec, axis=-1)
+            inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+            tvec = o - v0
+            u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+            qvec = jnp.cross(tvec, e1)
+            v = jnp.sum(d * qvec, axis=-1) * inv_det
+            t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+            hit = (
+                in_leaf & (jnp.abs(det) > 1e-12)
+                & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                & (t > 0.0) & (t < bt)
+            )
+            bt = jnp.where(hit, t, bt)
+            bp = jnp.where(hit, pid, bp)
+            bu = jnp.where(hit, u, bu)
+            bv = jnp.where(hit, v, bv)
+
+        descend = hit_box & ~is_leaf
+        nxt = jnp.where(descend, node + 1, skip)
+        nxt = jnp.where(s["node"] < 0, s["node"], nxt)
+        return dict(
+            node=nxt, best_t=bt, best_p=bp, best_u=bu, best_v=bv,
+            alive=s["alive"], steps=s["steps"] + 1,
+        )
+
+    out = jax.lax.while_loop(cond, body, state)
+    return out["best_t"], out["best_p"], out["best_u"], out["best_v"]
+
+
+@jax.custom_vjp
+def bvh_intersect_ad(bvh_lo, bvh_hi, bvh_skip, bvh_payload, tri_v0, tri_e1, tri_e2, o, d, maxt):
+    """bvh_intersect with the same analytic ray-derivative VJP as the Pallas
+    kernel (ops/intersect.py): while_loop is not tape-differentiable, and the
+    intersection derivative w.r.t. the ray is known in closed form."""
+    return bvh_intersect(bvh_lo, bvh_hi, bvh_skip, bvh_payload, tri_v0, tri_e1, tri_e2, o, d, maxt)
+
+
+def _fwd(bvh_lo, bvh_hi, bvh_skip, bvh_payload, tri_v0, tri_e1, tri_e2, o, d, maxt):
+    out = bvh_intersect(bvh_lo, bvh_hi, bvh_skip, bvh_payload, tri_v0, tri_e1, tri_e2, o, d, maxt)
+    t, p, u, v = out
+    res = (bvh_lo, bvh_hi, bvh_skip, bvh_payload, tri_v0, tri_e1, tri_e2, p, t, d, maxt)
+    return out, res
+
+
+def _bwd(res, cts):
+    import numpy as np
+
+    bvh_lo, bvh_hi, bvh_skip, bvh_payload, tri_v0, tri_e1, tri_e2, p, t, d, maxt = res
+    ct_t, ct_p, ct_u, ct_v = cts
+    safe_p = jnp.maximum(p, 0)
+    nrm = jnp.cross(tri_e1[safe_p], tri_e2[safe_p])
+    dn = jnp.sum(d * nrm, axis=-1)
+    valid = (p >= 0) & (jnp.abs(dn) > 1e-12)
+    inv_dn = jnp.where(valid, 1.0 / jnp.where(valid, dn, 1.0), 0.0)
+    dt_do = -nrm * inv_dn[:, None]
+    dt_dd = dt_do * t[:, None]
+    ct = jnp.where(valid, ct_t, 0.0)[:, None]
+    f0 = lambda x: np.zeros(jnp.shape(x), jax.dtypes.float0)
+    return (
+        jnp.zeros_like(bvh_lo),
+        jnp.zeros_like(bvh_hi),
+        f0(bvh_skip),
+        f0(bvh_payload),
+        jnp.zeros_like(tri_v0),
+        jnp.zeros_like(tri_e1),
+        jnp.zeros_like(tri_e2),
+        ct * dt_do,
+        ct * dt_dd,
+        jnp.zeros_like(maxt),
+    )
+
+
+bvh_intersect_ad.defvjp(_fwd, _bwd)

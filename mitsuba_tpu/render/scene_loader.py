@@ -24,7 +24,7 @@ BSDF_TYPES = {
     "diffuse", "dielectric", "thindielectric", "conductor", "roughconductor",
     "roughdielectric", "roughplastic", "plastic", "twosided", "null", "mask",
 }
-SHAPE_TYPES = {"rectangle", "cube", "sphere", "obj", "disk"}
+SHAPE_TYPES = {"rectangle", "cube", "sphere", "obj", "ply", "disk", "serialized"}
 EMITTER_TYPES = {"constant", "point", "directional", "envmap", "spot"}
 SENSOR_TYPES = {
     "perspective", "thinlens", "orthographic", "radiancemeter",
@@ -352,8 +352,8 @@ def load_dict(d):
                 m = SH.make_cube(to_world)
                 m["shape_index"] = shape_index
                 tri_meshes.append(m)
-            elif t == "obj":
-                m = SH.load_obj(spec["filename"], to_world)
+            elif t in ("obj", "ply"):
+                m = _load_mesh_native(t, spec["filename"], to_world)
                 m["shape_index"] = shape_index
                 tri_meshes.append(m)
             elif t == "sphere":
@@ -552,6 +552,30 @@ def load_dict(d):
         param_paths=tuple(param_paths),
     )
     return scene
+
+
+def _load_mesh_native(kind, filename, to_world):
+    """Load obj/ply via the native C++ parsers (native/src/mesh_io.cpp),
+    falling back to the python OBJ reader."""
+    try:
+        from .. import native as native_mod
+
+        m = native_mod.load_obj(filename) if kind == "obj" else native_mod.load_ply(filename)
+    except Exception:
+        if kind != "obj":
+            raise
+        return SH.load_obj(filename, to_world)
+    mm = np.asarray(to_world.m)
+    V = m["vertices"]
+    out = {"vertices": (mm[:3, :3] @ V.T + mm[:3, 3:4]).T.astype(np.float32),
+           "faces": m["faces"]}
+    if "normals" in m:
+        Nw = (np.asarray(to_world.inv)[:3, :3].T @ m["normals"].T).T
+        Nw /= np.maximum(np.linalg.norm(Nw, axis=-1, keepdims=True), 1e-12)
+        out["normals"] = Nw.astype(np.float32)
+    if "uvs" in m:
+        out["uvs"] = m["uvs"]
+    return out
 
 
 def _medium_ref(spec):

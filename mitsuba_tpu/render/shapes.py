@@ -40,9 +40,16 @@ class Geometry:
     sph_center: jnp.ndarray  # [S, 3]
     sph_radius: jnp.ndarray  # [S]
     sph_shape: jnp.ndarray   # [S] int32
+    # threaded BVH (native binned-SAH build; see native/src/bvh.cpp) — only
+    # populated for scenes beyond the SMEM brute-force size
+    bvh_lo: jnp.ndarray      # [M, 3]
+    bvh_hi: jnp.ndarray      # [M, 3]
+    bvh_skip: jnp.ndarray    # [M] int32
+    bvh_payload: jnp.ndarray  # [M] int32
     n_tris: int = struct.field(pytree_node=False)
     n_spheres: int = struct.field(pytree_node=False)
     has_vertex_normals: bool = struct.field(pytree_node=False)
+    has_bvh: bool = struct.field(pytree_node=False, default=False)
 
 
 def build_geometry(tri_meshes, spheres):
@@ -112,6 +119,35 @@ def build_geometry(tri_meshes, spheres):
     sph_radius = np.asarray([s["radius"] for s in spheres], np.float32).reshape(S) if S else np.zeros((1,), np.float32)
     sph_shape = np.asarray([s["shape_index"] for s in spheres], np.int32).reshape(S) if S else np.full((1,), -1, np.int32)
 
+    # large scenes: native binned-SAH BVH + leaf-order triangle reordering
+    from ..ops.intersect import MAX_SMEM_TRIS
+
+    has_bvh = T > MAX_SMEM_TRIS
+    if has_bvh:
+        from .. import native as native_mod
+
+        tris9 = np.concatenate([tri_v0[:T], tri_e1[:T], tri_e2[:T]], axis=-1)
+        nodes, order = native_mod.build_bvh(tris9)
+        # reorder all per-tri arrays to BVH leaf order (padding tris dropped:
+        # BVH paths never index beyond T)
+        perm = np.concatenate([order, np.arange(T, T_pad)]).astype(np.int64)
+        tri_v0 = tri_v0[perm]
+        tri_e1 = tri_e1[perm]
+        tri_e2 = tri_e2[perm]
+        tri_ng = tri_ng[perm]
+        tri_vn = tri_vn[perm]
+        tri_uv = tri_uv[perm]
+        tri_shape = tri_shape[perm]
+        bvh_lo = nodes[:, 0:3]
+        bvh_hi = nodes[:, 3:6]
+        bvh_skip = nodes[:, 6].view(np.int32).copy()
+        bvh_payload = nodes[:, 7].view(np.int32).copy()
+    else:
+        bvh_lo = np.zeros((1, 3), np.float32)
+        bvh_hi = np.zeros((1, 3), np.float32)
+        bvh_skip = np.full((1,), -1, np.int32)
+        bvh_payload = np.zeros((1,), np.int32)
+
     return Geometry(
         tri_v0=jnp.asarray(tri_v0), tri_e1=jnp.asarray(tri_e1),
         tri_e2=jnp.asarray(tri_e2), tri_ng=jnp.asarray(tri_ng),
@@ -119,7 +155,10 @@ def build_geometry(tri_meshes, spheres):
         tri_shape=jnp.asarray(tri_shape),
         sph_center=jnp.asarray(sph_center), sph_radius=jnp.asarray(sph_radius),
         sph_shape=jnp.asarray(sph_shape),
+        bvh_lo=jnp.asarray(bvh_lo), bvh_hi=jnp.asarray(bvh_hi),
+        bvh_skip=jnp.asarray(bvh_skip), bvh_payload=jnp.asarray(bvh_payload),
         n_tris=T_pad, n_spheres=S, has_vertex_normals=any_vn,
+        has_bvh=has_bvh,
     )
 
 
@@ -168,6 +207,18 @@ def ray_intersect_preliminary(geom: Geometry, ray: Ray, active=None):
     N = ray.o.shape[0]
     if active is None:
         active = jnp.ones((N,), bool)
+
+    if geom.has_bvh:
+        from .bvh import bvh_intersect_ad
+
+        maxt = jnp.where(active, ray.maxt, -jnp.inf)
+        t_b, p_b, u_b, v_b = bvh_intersect_ad(
+            geom.bvh_lo, geom.bvh_hi, geom.bvh_skip, geom.bvh_payload,
+            geom.tri_v0, geom.tri_e1, geom.tri_e2, ray.o, ray.d, maxt,
+        )
+        best_t = jnp.where(p_b >= 0, t_b, jnp.where(active, ray.maxt, -jnp.inf))
+        best_uv = jnp.stack([u_b, v_b], axis=-1)
+        return _sphere_pass(geom, ray, best_t, p_b, best_uv)
 
     if _use_pallas(geom):
         from ..ops.intersect import build_tri_table, tri_intersect
