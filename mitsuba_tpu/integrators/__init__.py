@@ -37,10 +37,24 @@ def make_integrator(spec):
         from .direct import DepthIntegrator
 
         return DepthIntegrator()
-    if t in ("volpath", "volpathmis", "prbvolpath", "prb_unpolarized"):
+    if t in ("volpath", "volpathmis"):
         from .volpath import VolPathIntegrator
 
         return VolPathIntegrator(
+            max_depth=max_depth, rr_depth=rr_depth, hide_emitters=hide
+        )
+    if t in ("prbvolpath", "prb_unpolarized"):
+        if current_variant().polarized:
+            # polarized volumetric replay: primal shares volpath; gradients
+            # fall back to tape through the scan for now
+            from .volpath import VolPathIntegrator
+
+            return VolPathIntegrator(
+                max_depth=max_depth, rr_depth=rr_depth, hide_emitters=hide
+            )
+        from ..ad.prbvolpath import PRBVolpathIntegrator
+
+        return PRBVolpathIntegrator(
             max_depth=max_depth, rr_depth=rr_depth, hide_emitters=hide
         )
     if t in ("volpathaos", "prb_volpathaos", "prb_polarized"):

@@ -40,7 +40,8 @@ def index_spectrum(x, channel):
     return jnp.take_along_axis(x, channel[..., None], axis=-1)[..., 0]
 
 
-def track_segment(scene, p0, d, seg_len, medium, channel, rng, active, n_steps):
+def track_segment(scene, p0, d, seg_len, medium, channel, rng, active, n_steps,
+                  detach_flight=False):
     """Delta-track one ray segment of length seg_len through `medium`
     (constant majorant): inner loop, no scene intersection.
 
@@ -67,6 +68,11 @@ def track_segment(scene, p0, d, seg_len, medium, channel, rng, active, n_steps):
         rng = s["rng"]
         u_flight, u_event, rng = _next2(rng)
         dt = -jnp.log(jnp.maximum(1.0 - u_flight, 1e-20)) / maj
+        if detach_flight:
+            # PRB attached evaluation: detached sampling decisions/positions,
+            # attached coefficients with detached probability denominators
+            # (reference: prb_polarized.py:173-205 — sigma/detach(prob))
+            dt = jax.lax.stop_gradient(dt)
         t_new = s["t"] + dt
         passed = t_new >= seg_len
         finish = s["pending"] & passed           # survived to segment end
@@ -78,11 +84,27 @@ def track_segment(scene, p0, d, seg_len, medium, channel, rng, active, n_steps):
         real = collide & (u_event < prob_real)
         null = collide & ~real
 
-        w_null = sn / (maj * jnp.maximum(1.0 - prob_real, 1e-8))[..., None]
+        denom_null = maj * jnp.maximum(1.0 - prob_real, 1e-8)
+        denom_real = maj * jnp.maximum(prob_real, 1e-8)
+        if detach_flight:
+            denom_null = jax.lax.stop_gradient(denom_null)
+            denom_real = jax.lax.stop_gradient(denom_real)
+        w_null = sn / denom_null[..., None]
         beta_f = jnp.where(null[..., None], s["beta_f"] * w_null, s["beta_f"])
         # real collision weight applied here too: sigma_s / (maj * p_real)
-        w_real = ss / (maj * jnp.maximum(prob_real, 1e-8))[..., None]
+        w_real = ss / denom_real[..., None]
         beta_f = jnp.where(real[..., None], beta_f * w_real, beta_f)
+        if detach_flight:
+            # survival factor ratio exp(-(maj_att - maj_det) dt): primal value
+            # 1, carries the majorant's theta-derivative of the free-flight
+            # numerator (the tr/detach(tr_pdf) term of prb_polarized.py:173)
+            dmaj = maj - jax.lax.stop_gradient(maj)
+            surv = jnp.exp(-dmaj * dt)[..., None]
+            beta_f = jnp.where(collide[..., None], beta_f * surv, beta_f)
+            exit_dt = jnp.maximum(seg_len - s["t"], 0.0)
+            exit_dt = jnp.where(jnp.isfinite(exit_dt), exit_dt, 0.0)
+            surv_exit = jnp.exp(-dmaj * jax.lax.stop_gradient(exit_dt))[..., None]
+            beta_f = jnp.where(finish[..., None], beta_f * surv_exit, beta_f)
 
         return (
             dict(
@@ -105,7 +127,8 @@ def track_segment(scene, p0, d, seg_len, medium, channel, rng, active, n_steps):
     return reached_end, out["is_real"] & in_medium, out["t_real"], beta_f, out["rng"]
 
 
-def track_segment_ratio(scene, p0, d, seg_len, medium, channel, rng, active, n_steps):
+def track_segment_ratio(scene, p0, d, seg_len, medium, channel, rng, active, n_steps,
+                        detach_flight=False):
     """Ratio-tracking transmittance over one segment (NEE estimator):
     T = prod sigma_n/maj at majorant-exponential collisions
     (reference: ratio tracking in volpathaos.cpp:349-452)."""
@@ -125,12 +148,24 @@ def track_segment_ratio(scene, p0, d, seg_len, medium, channel, rng, active, n_s
         rng = s["rng"]
         u_flight, _, rng = _next2(rng)
         dt = -jnp.log(jnp.maximum(1.0 - u_flight, 1e-20)) / maj
+        if detach_flight:
+            dt = jax.lax.stop_gradient(dt)
         t_new = s["t"] + dt
         collide = s["pending"] & (t_new < seg_len)
         p = p0 + t_new[..., None] * d
         _, sn, _ = scene.medium_coefficients(medium, p)
-        ratio = sn / maj[..., None]
+        denom = jax.lax.stop_gradient(maj) if detach_flight else maj
+        ratio = sn / denom[..., None]
         T = jnp.where(collide[..., None], s["T"] * ratio, s["T"])
+        if detach_flight:
+            dmaj = maj - jax.lax.stop_gradient(maj)
+            surv = jnp.exp(-dmaj * dt)[..., None]
+            T = jnp.where(collide[..., None], T * surv, T)
+            exit_dt = jnp.maximum(seg_len - s["t"], 0.0)
+            exit_dt = jnp.where(jnp.isfinite(exit_dt), exit_dt, 0.0)
+            finish = s["pending"] & (t_new >= seg_len)
+            surv_exit = jnp.exp(-dmaj * jax.lax.stop_gradient(exit_dt))[..., None]
+            T = jnp.where(finish[..., None], T * surv_exit, T)
         return (
             dict(
                 t=jnp.where(collide, t_new, s["t"]),
@@ -149,7 +184,7 @@ def track_segment_ratio(scene, p0, d, seg_len, medium, channel, rng, active, n_s
 
 def estimate_transmittance(
     scene, p0, ds, medium_idx0, channel, rng, active,
-    max_crossings=4, steps_per_segment=32,
+    max_crossings=4, steps_per_segment=32, detach_flight=False,
 ):
     """Transmittance from p0 toward emitter sample ds, crossing up to
     max_crossings null-BSDF interfaces; one scene intersect per crossing."""
@@ -174,7 +209,7 @@ def estimate_transmittance(
 
         T_seg, rng = track_segment_ratio(
             scene, ray.o, d, seg_len, state["medium"], channel, state["rng"],
-            state["alive"], steps_per_segment,
+            state["alive"], steps_per_segment, detach_flight=detach_flight,
         )
         T = state["T"] * jnp.where(state["alive"][..., None], T_seg, 1.0)
 

@@ -201,7 +201,10 @@ def render_1(scene, params=None, sensor=0, seed=0, spp=None):
     if params is not None and hasattr(params, "scene"):
         scene = params.scene
     spp = spp or scene.spp
-    L, wavelengths, wl_pdf, _ = _render_pass(scene, jnp.uint32(seed), 0, spp, spp, sensor)
+    if getattr(scene.integrator, "is_prb", False):
+        L = _prb_pass_jit(scene, jnp.uint32(seed), 0, spp, spp, sensor)
+    else:
+        L, wavelengths, wl_pdf, _ = _render_pass(scene, jnp.uint32(seed), 0, spp, spp, sensor)
     if scene.polarized:
         # L is [N, C, 4] Stokes in polarized integrators
         return jnp.mean(L, axis=0).T  # [4, C] -> Stokes-major
