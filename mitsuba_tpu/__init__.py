@@ -30,3 +30,7 @@ from .render.scene_loader import load_dict, load_file, cornell_box  # noqa: E402
 from .render.params import traverse, SceneParameters  # noqa: E402
 from .render_api import render, render_1, render_test  # noqa: E402
 from . import ad  # noqa: E402
+from .utils import io as util  # noqa: E402  (mi.util.write_bitmap parity)
+from .utils import polvis, tonemap  # noqa: E402
+from . import chi2  # noqa: E402
+from .xml import dict_to_xml, load_xml_dict  # noqa: E402

@@ -649,9 +649,11 @@ def parse_sensor(spec):
 
 
 def load_file(path, **defaults):
-    raise NotImplementedError(
-        "XML scene loading lands with the IO subsystem; use load_dict"
-    )
+    """Load a Mitsuba XML scene file (reference: xml::load_file,
+    src/core/xml.cpp) by translating to the dict format."""
+    from ..xml import load_xml_dict
+
+    return load_dict(load_xml_dict(path, **defaults))
 
 
 def cornell_box():
