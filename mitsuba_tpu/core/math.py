@@ -52,3 +52,26 @@ def safe_acos(x):
 
 def safe_asin(x):
     return jnp.arcsin(jnp.clip(x, -1.0, 1.0))
+
+
+def lookup_rows(table, idx, max_onehot=64):
+    """Row lookup `table[idx]` tuned for TPU.
+
+    XLA lowers per-lane gathers to a slow serial path on TPU (measured 11x
+    slower than the MXU for a [2.1M]-lane lookup from a tiny table).  For
+    small tables we instead build a one-hot [N, K] matrix and contract it with
+    the table on the MXU — exact (0/1 weights at HIGHEST precision) and an
+    order of magnitude faster.  Large tables fall back to the native gather.
+
+    table: [K] or [K, D] float array;  idx: integer array [N...].
+    """
+    import jax
+
+    K = table.shape[0]
+    if K > max_onehot or not jnp.issubdtype(table.dtype, jnp.floating):
+        return table[idx]
+    squeeze = table.ndim == 1
+    t = table[:, None] if squeeze else table
+    oh = (idx[..., None] == jnp.arange(K, dtype=idx.dtype)).astype(t.dtype)
+    out = jnp.matmul(oh, t, precision=jax.lax.Precision.HIGHEST)
+    return out[..., 0] if squeeze else out

@@ -74,6 +74,11 @@ def make_integrator(spec):
         for v in spec.values():
             if isinstance(v, dict) and "type" in v:
                 nested = make_integrator(v)
+        if nested is None:
+            # default nested transport, like the reference's implicit child
+            # (src/integrators/stokes.cpp requires one; we default to volpath
+            # which handles surface-only scenes too)
+            nested = make_integrator({"type": "volpath", "max_depth": max_depth})
         return StokesIntegrator(nested=nested)
     if t == "moment":
         from .aov import MomentIntegrator
@@ -82,6 +87,8 @@ def make_integrator(spec):
         for v in spec.values():
             if isinstance(v, dict) and "type" in v:
                 nested = make_integrator(v)
+        if nested is None:
+            nested = make_integrator({"type": "volpath", "max_depth": max_depth})
         return MomentIntegrator(nested=nested)
     if t == "ptracer":
         from .ptracer import PTracerIntegrator

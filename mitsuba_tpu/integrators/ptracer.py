@@ -27,6 +27,7 @@ from flax import struct
 
 from ..core import warp
 from ..core.frame import coordinate_system, dot, normalize
+from ..core.math import lookup_rows
 from ..render.records import Ray, spawn_ray
 from .path import _next2
 
@@ -52,13 +53,23 @@ def _sample_emitter_ray(scene, u_sel, u_pos, u_dir, wavelengths):
                 jnp.searchsorted(em.tri_cdf, scaled, side="right", method="compare_all"), 0,
                 em.tri_cdf.shape[0] - 1,
             )
-            tri = em.tri_index[k]
-            v0 = scene.geometry.tri_v0[tri]
-            e1 = scene.geometry.tri_e1[tri]
-            e2 = scene.geometry.tri_e2[tri]
-            ng = scene.geometry.tri_ng[tri]
-            lo = jnp.where(k > 0, em.tri_cdf[jnp.maximum(k - 1, 0)], 0.0)
-            seg = jnp.maximum(em.tri_cdf[k] - lo, 1e-20)
+            # packed one-hot lookup: see core.math.lookup_rows (TPU gathers
+            # from small tables are pathologically slow)
+            geom = scene.geometry
+            cdf_lo = jnp.concatenate([jnp.zeros((1,), jnp.float32), em.tri_cdf[:-1]])
+            tbl = jnp.concatenate(
+                [
+                    geom.tri_v0[em.tri_index], geom.tri_e1[em.tri_index],
+                    geom.tri_e2[em.tri_index], geom.tri_ng[em.tri_index],
+                    cdf_lo[:, None], em.tri_cdf[:, None],
+                ],
+                axis=-1,
+            )
+            row = lookup_rows(tbl, k)
+            v0, e1 = row[..., 0:3], row[..., 3:6]
+            e2, ng = row[..., 6:9], row[..., 9:12]
+            lo = row[..., 12]
+            seg = jnp.maximum(row[..., 13] - lo, 1e-20)
             u0r = jnp.clip((scaled - lo) / seg, 0.0, 1.0)
             bary = warp.square_to_uniform_triangle(
                 jnp.stack([u0r, u_pos[..., 1]], axis=-1)

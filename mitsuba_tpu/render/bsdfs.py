@@ -557,6 +557,161 @@ class TwoSidedBSDF:
 
 
 @struct.dataclass
+class MaskBSDF:
+    """Opacity mask over a nested BSDF (reference: src/bsdfs/mask.cpp):
+    with probability 1-opacity the ray passes straight through (null lobe)."""
+
+    nested: object
+    opacity: object   # texture
+
+    flags_transmission = True
+
+    @property
+    def flags_smooth(self):
+        return self.nested.flags_smooth
+
+    def eval(self, si, wo, wavelengths, n_channels):
+        op = self.opacity.eval(si.uv, wavelengths, n_channels)
+        return self.nested.eval(si, wo, wavelengths, n_channels) * op
+
+    def pdf(self, si, wo):
+        op = jnp.mean(self.opacity.eval(si.uv, None, 1), axis=-1)
+        return self.nested.pdf(si, wo) * op
+
+    def sample(self, u_lobe, u2, si, wavelengths, n_channels):
+        op = self.opacity.eval(si.uv, wavelengths, n_channels)
+        op_s = jnp.mean(op, axis=-1)
+        pass_through = u_lobe >= op_s
+        # rescale u_lobe for the nested lobe choice
+        u_nested = jnp.clip(u_lobe / jnp.maximum(op_s, 1e-6), 0.0, 1.0)
+        bs_n, w_n = self.nested.sample(u_nested, u2, si, wavelengths, n_channels)
+        wo = jnp.where(pass_through[..., None], -si.wi, bs_n.wo)
+        pdf = jnp.where(pass_through, 1.0 - op_s, bs_n.pdf * op_s)
+        weight = jnp.where(pass_through[..., None], jnp.ones_like(w_n), w_n)
+        bs = BSDFSample(
+            wo=wo, pdf=pdf,
+            eta=jnp.where(pass_through, 1.0, bs_n.eta),
+            delta=jnp.where(pass_through, True, bs_n.delta),
+        )
+        return bs, weight
+
+
+@struct.dataclass
+class BlendBSDF:
+    """Convex combination of two BSDFs by a weight texture
+    (reference: src/bsdfs/blendbsdf.cpp)."""
+
+    bsdf_a: object
+    bsdf_b: object
+    weight: object    # texture: weight of bsdf_b
+
+    flags_smooth = True
+    flags_transmission = False
+
+    def _w(self, si):
+        return jnp.mean(self.weight.eval(si.uv, None, 1), axis=-1)
+
+    def eval(self, si, wo, wavelengths, n_channels):
+        w = self._w(si)[..., None]
+        return (
+            (1 - w) * self.bsdf_a.eval(si, wo, wavelengths, n_channels)
+            + w * self.bsdf_b.eval(si, wo, wavelengths, n_channels)
+        )
+
+    def pdf(self, si, wo):
+        w = self._w(si)
+        return (1 - w) * self.bsdf_a.pdf(si, wo) + w * self.bsdf_b.pdf(si, wo)
+
+    def sample(self, u_lobe, u2, si, wavelengths, n_channels):
+        w = self._w(si)
+        pick_b = u_lobe < w
+        u_a = jnp.clip((u_lobe - w) / jnp.maximum(1 - w, 1e-6), 0.0, 1.0)
+        u_b = jnp.clip(u_lobe / jnp.maximum(w, 1e-6), 0.0, 1.0)
+        bs_a, _ = self.bsdf_a.sample(u_a, u2, si, wavelengths, n_channels)
+        bs_b, _ = self.bsdf_b.sample(u_b, u2, si, wavelengths, n_channels)
+        wo = jnp.where(pick_b[..., None], bs_b.wo, bs_a.wo)
+        pdf = self.pdf(si, wo)
+        val = self.eval(si, wo, wavelengths, n_channels)
+        weight = jnp.where(
+            (pdf > 1e-10)[..., None], val / jnp.maximum(pdf, 1e-10)[..., None], 0.0
+        )
+        bs = BSDFSample(
+            wo=wo, pdf=pdf, eta=jnp.ones_like(pdf), delta=jnp.zeros(pdf.shape, bool)
+        )
+        return bs, weight
+
+
+@struct.dataclass
+class PolarizerBSDF:
+    """Ideal linear polarizer surface (reference: src/bsdfs/polarizer.cpp):
+    transmits light, applying a rotated linear-polarizer Mueller matrix.
+    Unpolarized variants see a 0.5 * transmittance attenuation."""
+
+    theta: jnp.ndarray        # polarization axis angle (radians)
+    transmittance: object
+
+    flags_smooth = False
+    flags_transmission = True
+
+    def eval(self, si, wo, wavelengths, n_channels):
+        return jnp.zeros(wo.shape[:-1] + (n_channels,), jnp.float32)
+
+    def pdf(self, si, wo):
+        return jnp.zeros(wo.shape[:-1], jnp.float32)
+
+    def sample(self, u_lobe, u2, si, wavelengths, n_channels):
+        n = si.wi.shape[0]
+        t = self.transmittance.eval(si.uv, wavelengths, n_channels)
+        bs = BSDFSample(
+            wo=-si.wi, pdf=jnp.ones((n,)), eta=jnp.ones((n,)),
+            delta=jnp.ones((n,), bool),
+        )
+        return bs, 0.5 * t
+
+    def sample_pol(self, u_lobe, u2, si, wavelengths, n_channels):
+        bs, _ = self.sample(u_lobe, u2, si, wavelengths, n_channels)
+        t = self.transmittance.eval(si.uv, wavelengths, n_channels)
+        M = mu.rotated_element(self.theta, mu.linear_polarizer(jnp.asarray(1.0)))
+        M = jnp.broadcast_to(M, (si.wi.shape[0], n_channels, 4, 4))
+        return bs, M * t[..., None, None]
+
+
+@struct.dataclass
+class RetarderBSDF:
+    """Ideal linear retarder (wave plate) surface
+    (reference: src/bsdfs/retarder.cpp)."""
+
+    theta: jnp.ndarray
+    delta_phase: jnp.ndarray   # phase difference (radians); pi/2 = quarter wave
+    transmittance: object
+
+    flags_smooth = False
+    flags_transmission = True
+
+    def eval(self, si, wo, wavelengths, n_channels):
+        return jnp.zeros(wo.shape[:-1] + (n_channels,), jnp.float32)
+
+    def pdf(self, si, wo):
+        return jnp.zeros(wo.shape[:-1], jnp.float32)
+
+    def sample(self, u_lobe, u2, si, wavelengths, n_channels):
+        n = si.wi.shape[0]
+        t = self.transmittance.eval(si.uv, wavelengths, n_channels)
+        bs = BSDFSample(
+            wo=-si.wi, pdf=jnp.ones((n,)), eta=jnp.ones((n,)),
+            delta=jnp.ones((n,), bool),
+        )
+        return bs, t
+
+    def sample_pol(self, u_lobe, u2, si, wavelengths, n_channels):
+        bs, _ = self.sample(u_lobe, u2, si, wavelengths, n_channels)
+        t = self.transmittance.eval(si.uv, wavelengths, n_channels)
+        M = mu.rotated_element(self.theta, mu.linear_retarder(self.delta_phase))
+        M = jnp.broadcast_to(M, (si.wi.shape[0], n_channels, 4, 4))
+        return bs, M * t[..., None, None]
+
+
+@struct.dataclass
 class RoughPlasticBSDF:
     """Rough plastic: GGX specular coat over Lambertian base with internal
     scattering approximation (reference: src/bsdfs/roughplastic.cpp,

@@ -11,8 +11,17 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import struct
 
+from ..core.math import lookup_rows
 from .records import DirectionSample, Ray, spawn_ray
 from . import shapes as shapes_mod
+
+
+def _int_lookup(table, idx):
+    """table[idx] for small int32 tables via the MXU one-hot path (exact for
+    index-sized values; see core.math.lookup_rows for why gathers are slow)."""
+    if table.shape[0] > 64:
+        return table[idx]
+    return lookup_rows(table.astype(jnp.float32), idx).astype(jnp.int32)
 
 
 @struct.dataclass
@@ -122,7 +131,7 @@ class Scene:
             return jnp.zeros(ref_p.shape[:-1], jnp.float32)
         shape_idx = jnp.maximum(si.shape_index, 0)
         em_idx = jnp.where(
-            si.shape_index >= 0, self.shape_emitter[shape_idx], -1
+            si.shape_index >= 0, _int_lookup(self.shape_emitter, shape_idx), -1
         )
         pdf = jnp.zeros(ref_p.shape[:-1], jnp.float32)
         for i, em in enumerate(self.emitters):
@@ -147,7 +156,7 @@ class Scene:
         if self.n_emitters == 0:
             return out
         shape_idx = jnp.maximum(si.shape_index, 0)
-        em_idx = jnp.where(si.shape_index >= 0, self.shape_emitter[shape_idx], -1)
+        em_idx = jnp.where(si.shape_index >= 0, _int_lookup(self.shape_emitter, shape_idx), -1)
         for i, em in enumerate(self.emitters):
             if em.is_environment or em.is_delta:
                 continue
@@ -186,7 +195,7 @@ class Scene:
     # -- bsdf dispatch ------------------------------------------------------
     def bsdf_index_at(self, si):
         shape_idx = jnp.maximum(si.shape_index, 0)
-        return jnp.where(si.shape_index >= 0, self.shape_bsdf[shape_idx], -1)
+        return jnp.where(si.shape_index >= 0, _int_lookup(self.shape_bsdf, shape_idx), -1)
 
     def bsdf_eval_pdf(self, si, wo, wavelengths, active):
         """Masked vcall over BSDF instances (eval + pdf fused)."""

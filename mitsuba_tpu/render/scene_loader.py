@@ -23,6 +23,7 @@ from .scene import Scene
 BSDF_TYPES = {
     "diffuse", "dielectric", "thindielectric", "conductor", "roughconductor",
     "roughdielectric", "roughplastic", "plastic", "twosided", "null", "mask",
+    "blendbsdf", "polarizer", "retarder",
 }
 SHAPE_TYPES = {"rectangle", "cube", "sphere", "obj", "ply", "disk", "serialized"}
 EMITTER_TYPES = {"constant", "point", "directional", "envmap", "spot"}
@@ -257,6 +258,45 @@ def parse_bsdf(spec, name, paths):
             eta=jnp.asarray(int_ior / ext_ior, jnp.float32),
             alpha=jnp.asarray(alpha, jnp.float32),
             diffuse_reflectance=dr, specular_reflectance=sr,
+        )
+    if t == "mask":
+        nested_spec = spec.get("bsdf") or next(
+            v for k, v in spec.items() if isinstance(v, dict) and v.get("type") in BSDF_TYPES
+        )
+        nested = parse_bsdf(nested_spec, name, paths)
+        op, leaf = parse_texture(spec.get("opacity", 0.5))
+        paths.append((f"{name}.opacity.{leaf}", ("opacity", leaf)))
+        return B.MaskBSDF(nested=nested, opacity=op)
+    if t == "blendbsdf":
+        nested = [
+            v for k, v in spec.items()
+            if isinstance(v, dict) and v.get("type") in BSDF_TYPES
+        ]
+        if len(nested) != 2:
+            raise ValueError("blendbsdf needs exactly two nested BSDFs")
+        w, leaf = parse_texture(spec.get("weight", 0.5))
+        paths.append((f"{name}.weight.{leaf}", ("weight", leaf)))
+        return B.BlendBSDF(
+            bsdf_a=parse_bsdf(nested[0], name + ".a", paths),
+            bsdf_b=parse_bsdf(nested[1], name + ".b", paths),
+            weight=w,
+        )
+    if t == "polarizer":
+        tr, leaf = parse_texture(spec.get("transmittance", 1.0))
+        paths.append((f"{name}.theta", ("theta",)))
+        return B.PolarizerBSDF(
+            theta=jnp.asarray(np.deg2rad(float(spec.get("theta", 0.0))), jnp.float32),
+            transmittance=tr,
+        )
+    if t == "retarder":
+        tr, _ = parse_texture(spec.get("transmittance", 1.0))
+        paths.append((f"{name}.theta", ("theta",)))
+        return B.RetarderBSDF(
+            theta=jnp.asarray(np.deg2rad(float(spec.get("theta", 0.0))), jnp.float32),
+            delta_phase=jnp.asarray(
+                np.deg2rad(float(spec.get("delta", 90.0))), jnp.float32
+            ),
+            transmittance=tr,
         )
     if t == "null":
         return B.NullBSDF()

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..core.frame import cross, dot, normalize, coordinate_system
-from ..core.math import RAY_EPSILON
+from ..core.math import RAY_EPSILON, lookup_rows
 from .records import PreliminaryIntersection, Ray, SurfaceInteraction
 
 TRI_CHUNK = 64
@@ -306,32 +306,47 @@ def compute_surface_interaction(geom: Geometry, ray: Ray, pi: PreliminaryInterse
     t = jnp.where(valid, pi.t, jnp.inf)
     p = ray.at(jnp.where(valid, pi.t, 0.0))
 
-    # triangle attributes
+    # triangle attributes — packed into ONE [T, 20] table + a single
+    # lookup_rows: per-lane gathers from small tables hit a pathological XLA
+    # TPU lowering (~11x slower than a one-hot MXU contraction, see
+    # core.math.lookup_rows; measured on the cbox bench)
     u = pi.prim_uv[:, 0]
     v = pi.prim_uv[:, 1]
     w = 1.0 - u - v
-    ng_t = geom.tri_ng[tprim]
-    vn = geom.tri_vn[tprim]                  # [N,3,3]
+    T = geom.tri_ng.shape[0]
+    tbl = jnp.concatenate(
+        [
+            geom.tri_ng,                                   # 0:3
+            geom.tri_vn.reshape(T, 9),                     # 3:12
+            geom.tri_uv.reshape(T, 6),                     # 12:18
+            geom.tri_shape[:, None].astype(jnp.float32),   # 18
+        ],
+        axis=-1,
+    )
+    row = lookup_rows(tbl, tprim)
+    ng_t = row[..., 0:3]
+    vn = row[..., 3:12].reshape(-1, 3, 3)
     sh_n_t = normalize(
         w[:, None] * vn[:, 0] + u[:, None] * vn[:, 1] + v[:, None] * vn[:, 2]
     ) if geom.has_vertex_normals else ng_t
-    uv_t = (
-        w[:, None] * geom.tri_uv[tprim, 0]
-        + u[:, None] * geom.tri_uv[tprim, 1]
-        + v[:, None] * geom.tri_uv[tprim, 2]
-    )
-    shape_t = geom.tri_shape[tprim]
+    uv3 = row[..., 12:18].reshape(-1, 3, 2)
+    uv_t = w[:, None] * uv3[:, 0] + u[:, None] * uv3[:, 1] + v[:, None] * uv3[:, 2]
+    shape_t = row[..., 18].astype(jnp.int32)
 
     # sphere attributes
     sprim = jnp.clip(prim - geom.n_tris, 0, max(geom.n_spheres - 1, 0))
-    center = geom.sph_center[sprim]
+    sph_tbl = jnp.concatenate(
+        [geom.sph_center, geom.sph_shape[:, None].astype(jnp.float32)], axis=-1
+    )
+    sph_row = lookup_rows(sph_tbl, sprim)
+    center = sph_row[..., 0:3]
     ng_s = normalize(p - center)
     theta = jnp.arccos(jnp.clip(ng_s[:, 2], -1.0, 1.0))
     phi = jnp.arctan2(ng_s[:, 1], ng_s[:, 0])
     uv_s = jnp.stack(
         [phi / (2 * jnp.pi) + 0.5, theta / jnp.pi], axis=-1
     )
-    shape_s = geom.sph_shape[sprim]
+    shape_s = sph_row[..., 3].astype(jnp.int32)
 
     ng = jnp.where(is_tri[:, None], ng_t, ng_s)
     sh_n = jnp.where(is_tri[:, None], sh_n_t, ng_s)

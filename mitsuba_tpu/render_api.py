@@ -31,7 +31,11 @@ def _pass_lanes(film, spp_pass):
 def make_wavefront(scene, seed, lane0, n, pass_base, spp_pass, spp_total, sensor_idx):
     """Deterministic wavefront setup: per-lane RNG streams keyed by the
     *global* sample index (partition-invariant and PRB-replayable), camera
-    rays, and sampled wavelengths.  Returns (rng, ray, wavelengths, wl_pdf)."""
+    rays, and sampled wavelengths.  Returns (rng, ray, wavelengths, wl_pdf).
+
+    `spp_total` may be a traced uint32 (the RNG keying is pure arithmetic);
+    only the stratified sampler family needs it concrete for its strata grid,
+    and only those samplers force it static (see _render_pass)."""
     film = scene.film
     sensor = scene.sensors[sensor_idx]
 
@@ -119,11 +123,30 @@ def render_lanes(scene, seed, lane0, n, pass_base, spp_pass, spp_total, sensor_i
     return L, wavelengths, wl_pdf, aux
 
 
-@partial(jax.jit, static_argnames=("spp_pass", "spp_total", "sensor_idx"))
-def _render_pass(scene, seed, pass_base, spp_pass, spp_total, sensor_idx):
-    """One full wavefront pass over all pixels (single-chip entry)."""
+@partial(jax.jit, static_argnames=("spp_pass", "sensor_idx"))
+def _render_pass_dyn(scene, seed, pass_base, spp_pass, spp_total, sensor_idx):
+    """One full wavefront pass; spp_total traced — one compile serves every
+    total-spp (multi-pass accumulation, progressive renders)."""
     n = _pass_lanes(scene.film, spp_pass)
     return render_lanes(scene, seed, 0, n, pass_base, spp_pass, spp_total, sensor_idx)
+
+
+@partial(jax.jit, static_argnames=("spp_pass", "spp_total", "sensor_idx"))
+def _render_pass_static(scene, seed, pass_base, spp_pass, spp_total, sensor_idx):
+    """Variant with concrete spp_total for the stratified sampler family
+    (their strata grids are shape-defining)."""
+    n = _pass_lanes(scene.film, spp_pass)
+    return render_lanes(scene, seed, 0, n, pass_base, spp_pass, spp_total, sensor_idx)
+
+
+def _render_pass(scene, seed, pass_base, spp_pass, spp_total, sensor_idx):
+    if getattr(scene, "sampler_type", "independent") in (
+        "stratified", "multijitter", "orthogonal",
+    ):
+        return _render_pass_static(scene, seed, pass_base, spp_pass, spp_total, sensor_idx)
+    return _render_pass_dyn(
+        scene, seed, jnp.uint32(pass_base), spp_pass, jnp.uint32(spp_total), sensor_idx
+    )
 
 
 def render(scene, params=None, sensor=0, seed=0, spp=None, spp_per_pass=None):
