@@ -30,6 +30,10 @@ def prb_pass(scene, seed, pass_base, spp_pass, spp_total, sensor_idx):
     )
     active = jnp.ones((n,), bool)
     L, _ = scene.integrator.sample(scene, rng, ray, wavelengths, active)
+    if scene.polarized and L.ndim == 3:
+        from ..render_api import to_sensor_mueller
+
+        L = to_sensor_mueller(jax.lax.stop_gradient(ray.d), L)
     return L
 
 
@@ -47,6 +51,14 @@ def _prb_pass_bwd(pass_base, spp_pass, spp_total, sensor_idx, res, dL):
         scene, seed, 0, n, pass_base, spp_pass, spp_total, sensor_idx
     )
     active = jnp.ones((n,), bool)
+    if scene.polarized and dL.ndim == 3:
+        # the forward rotated L into the sensor Stokes frame; pull the film
+        # adjoint back into the integrator frame (R orthogonal: R^-1 = R^T)
+        from ..render_api import sensor_stokes_rotation
+
+        R = sensor_stokes_rotation(ray.d)
+        dL = jnp.einsum("nji,ncj->nci", R, dL)
+        L = jnp.einsum("nji,ncj->nci", R, L)
     grads = scene.integrator.sample_backward(
         scene, rng, ray, wavelengths, dL, L, active
     )

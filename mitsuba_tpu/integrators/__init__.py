@@ -12,11 +12,14 @@ def make_integrator(spec):
 
     from ..variant import current_variant
 
-    if current_variant().polarized and t in ("path", "prb", "prb_basic"):
+    if current_variant().polarized and t == "path":
         # polarized transport lives in the volumetric integrator (it handles
         # pure-surface scenes too); mirrors the reference where polarized
         # variants share the same plugin names with Spectrum = MuellerMatrix
         t = "volpath"
+    if current_variant().polarized and t in ("prb", "prb_basic", "prbvolpath"):
+        # polarized PRB -> the dedicated Mueller replay
+        t = "prb_polarized"
 
     if t == "path":
         from .path import PathIntegrator
@@ -44,20 +47,23 @@ def make_integrator(spec):
             max_depth=max_depth, rr_depth=rr_depth, hide_emitters=hide
         )
     if t in ("prbvolpath", "prb_unpolarized"):
-        if current_variant().polarized:
-            # polarized volumetric replay: primal shares volpath; gradients
-            # fall back to tape through the scan for now
-            from .volpath import VolPathIntegrator
-
-            return VolPathIntegrator(
-                max_depth=max_depth, rr_depth=rr_depth, hide_emitters=hide
-            )
         from ..ad.prbvolpath import PRBVolpathIntegrator
 
         return PRBVolpathIntegrator(
             max_depth=max_depth, rr_depth=rr_depth, hide_emitters=hide
         )
-    if t in ("volpathaos", "prb_volpathaos", "prb_polarized"):
+    if t == "prb_polarized":
+        if not current_variant().polarized:
+            raise ValueError("prb_polarized requires a *_polarized variant "
+                             "(reference: prb_polarized.py:73-79)")
+        from ..ad.prb_polarized import PRBPolarizedVolpathIntegrator
+
+        return PRBPolarizedVolpathIntegrator(
+            max_depth=max_depth, rr_depth=rr_depth, hide_emitters=hide
+        )
+    if t in ("volpathaos", "prb_volpathaos"):
+        # prb_volpathaos keeps the AOS primal (refractive-interface NEE);
+        # gradients fall back to tape through the scan for now
         from .volpathaos import VolPathAOSIntegrator
 
         return VolPathAOSIntegrator(

@@ -89,12 +89,11 @@ def make_wavefront(scene, seed, lane0, n, pass_base, spp_pass, spp_total, sensor
     return rng, ray, wavelengths, wl_pdf
 
 
-def to_sensor_mueller(ray_d, L):
-    """Rotate per-lane Stokes vectors from the camera ray's implicit basis to
-    the global basis perpendicular to the vertical (+z), per Chowdhary et al.
-    2020 (reference: to_sensor_mueller, common.py:304-326,
-    integrator.cpp:1245-1267) — required so Stokes vectors from different rays
-    can be summed.  L: [N, C, 4]."""
+def sensor_stokes_rotation(ray_d):
+    """Per-lane [N, 4, 4] rotation from the camera ray's implicit Stokes basis
+    to the global basis perpendicular to the vertical (+z), per Chowdhary
+    et al. 2020 (reference: to_sensor_mueller, common.py:304-326,
+    integrator.cpp:1245-1267)."""
     from .render import mueller as mu
     from .core.frame import cross, normalize
 
@@ -107,7 +106,13 @@ def to_sensor_mueller(ray_d, L):
     target = jnp.where(
         is_vertical, fallback, cross(fwd, normalize(jnp.where(is_vertical, fallback, tmp)))
     )
-    R = mu.rotate_stokes_basis(fwd, current, target)       # [N, 4, 4]
+    return mu.rotate_stokes_basis(fwd, current, target)    # [N, 4, 4]
+
+
+def to_sensor_mueller(ray_d, L):
+    """Rotate per-lane Stokes vectors into the shared sensor frame so Stokes
+    vectors from different rays can be summed.  L: [N, C, 4]."""
+    R = sensor_stokes_rotation(ray_d)
     return jnp.einsum("nij,ncj->nci", R, L)
 
 
