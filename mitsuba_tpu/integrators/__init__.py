@@ -61,12 +61,16 @@ def make_integrator(spec):
         return PRBPolarizedVolpathIntegrator(
             max_depth=max_depth, rr_depth=rr_depth, hide_emitters=hide
         )
-    if t in ("volpathaos", "prb_volpathaos"):
-        # prb_volpathaos keeps the AOS primal (refractive-interface NEE);
-        # gradients fall back to tape through the scan for now
+    if t == "volpathaos":
         from .volpathaos import VolPathAOSIntegrator
 
         return VolPathAOSIntegrator(
+            max_depth=max_depth, rr_depth=rr_depth, hide_emitters=hide
+        )
+    if t == "prb_volpathaos":
+        from ..ad.prb_volpathaos import PRBVolpathAOSIntegrator
+
+        return PRBVolpathAOSIntegrator(
             max_depth=max_depth, rr_depth=rr_depth, hide_emitters=hide
         )
     if t == "aov":

@@ -62,11 +62,16 @@ def _refractive_nee_direction(scene, refr_idx, emitter_d, u2, active):
 def estimate_transmittance_aos(
     scene, p0, d0, emitter_d, dist, medium0, channel, rng, active, ops,
     wavelengths=None, max_crossings=6, steps_per_segment=32,
+    detach_flight=False,
 ):
     """AOS shadow walk: ratio tracking through media + null interfaces, with
     direction change at the one non-null (refractive) surface
     (reference: volpathaos.cpp:349-452).  In polarized mode the accumulated
-    transmittance is a Mueller chain T = M_1 @ M_2 @ ... in walk order."""
+    transmittance is a Mueller chain T = M_1 @ M_2 @ ... in walk order.
+
+    detach_flight: PRB attached-evaluation mode — detached collision
+    positions/decisions, attached sigma_n and refractive-BSDF factors
+    (see track_segment_ratio)."""
     n = p0.shape[0]
     nc = scene.n_channels
 
@@ -88,6 +93,7 @@ def estimate_transmittance_aos(
         T_seg, rng = track_segment_ratio(
             scene, ray.o, state["d"], seg_len, state["medium"], channel,
             state["rng"], state["alive"], steps_per_segment,
+            detach_flight=detach_flight,
         )
         T = ops.mul_scalar(T, jnp.where(state["alive"][..., None], T_seg, 1.0))
 

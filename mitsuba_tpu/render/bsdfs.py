@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..core import warp
-from ..core.frame import cross, normalize, reflect
+from ..core.frame import coordinate_system, cross, normalize, reflect
 from ..core.math import INV_PI
 from . import microfacet as mf
 from . import mueller as mu
@@ -554,6 +554,57 @@ class TwoSidedBSDF:
         bs, weight = self.nested.sample(u_lobe, u2, si2, wavelengths, n_channels)
         wo = jnp.where(flip[..., None], bs.wo * jnp.asarray([1.0, 1.0, -1.0]), bs.wo)
         return bs.replace(wo=wo), weight
+
+
+@struct.dataclass
+class NormalmapBSDF:
+    """Tangent-space normal-map modifier over a nested BSDF
+    (reference: src/bsdfs/normalmap.cpp): the shading frame is replaced by
+    the texture normal (decoded from [0,1]^3), and the nested BSDF is
+    evaluated in the perturbed frame."""
+
+    nested: object
+    normalmap: object     # texture storing (n+1)/2 in rgb
+
+    flags_smooth = True
+    flags_transmission = False
+
+    def _perturbed_frame(self, si):
+        # decode tangent-space normal; n_channels=3 fetch regardless of mode
+        enc = self.normalmap.eval(si.uv, None, 3)
+        n = normalize(2.0 * enc - 1.0)
+        s, t = coordinate_system(n)
+        return n, s, t
+
+    def _to_p(self, si, v):
+        n, s, t = self._perturbed_frame(si)
+        return jnp.stack(
+            [jnp.sum(v * s, -1), jnp.sum(v * t, -1), jnp.sum(v * n, -1)], -1
+        )
+
+    def _si_p(self, si):
+        return si.replace(wi=self._to_p(si, si.wi))
+
+    def eval(self, si, wo, wavelengths, n_channels):
+        wo_p = self._to_p(si, wo)
+        val = self.nested.eval(self._si_p(si), wo_p, wavelengths, n_channels)
+        ok = (wo_p[..., 2] > 0) & (wo[..., 2] > 0)
+        return jnp.where(ok[..., None], val, 0.0)
+
+    def pdf(self, si, wo):
+        wo_p = self._to_p(si, wo)
+        p = self.nested.pdf(self._si_p(si), wo_p)
+        return jnp.where((wo_p[..., 2] > 0) & (wo[..., 2] > 0), p, 0.0)
+
+    def sample(self, u_lobe, u2, si, wavelengths, n_channels):
+        n, s, t = self._perturbed_frame(si)
+        si_p = self._si_p(si)
+        bs, w = self.nested.sample(u_lobe, u2, si_p, wavelengths, n_channels)
+        # perturbed local -> original local
+        wo = bs.wo[..., 0:1] * s + bs.wo[..., 1:2] * t + bs.wo[..., 2:3] * n
+        ok = wo[..., 2] > 0          # stay in the geometric hemisphere
+        w = jnp.where(ok[..., None], w, 0.0)
+        return bs.replace(wo=wo, pdf=jnp.where(ok, bs.pdf, 0.0)), w
 
 
 @struct.dataclass

@@ -23,7 +23,7 @@ from .scene import Scene
 BSDF_TYPES = {
     "diffuse", "dielectric", "thindielectric", "conductor", "roughconductor",
     "roughdielectric", "roughplastic", "plastic", "twosided", "null", "mask",
-    "blendbsdf", "polarizer", "retarder",
+    "blendbsdf", "polarizer", "retarder", "normalmap", "bumpmap",
 }
 SHAPE_TYPES = {"rectangle", "cube", "sphere", "obj", "ply", "disk", "serialized"}
 EMITTER_TYPES = {"constant", "point", "directional", "envmap", "spot"}
@@ -174,13 +174,25 @@ def _ior(v, default=1.5046):
     return float(v)
 
 
+
+def _nested_bsdf_spec(spec, t):
+    """The one nested BSDF of a wrapper plugin (twosided/mask/normalmap/...)."""
+    nested = spec.get("bsdf")
+    if nested is None:
+        nested = next(
+            (v for k, v in spec.items()
+             if isinstance(v, dict) and v.get("type") in BSDF_TYPES),
+            None,
+        )
+    if nested is None:
+        raise ValueError(f"{t!r} needs a nested BSDF (add a 'bsdf' child)")
+    return nested
+
+
 def parse_bsdf(spec, name, paths):
     t = spec["type"]
     if t == "twosided":
-        nested_spec = spec.get("bsdf") or next(
-            v for k, v in spec.items() if isinstance(v, dict) and v.get("type") in BSDF_TYPES
-        )
-        nested = parse_bsdf(nested_spec, name, paths)
+        nested = parse_bsdf(_nested_bsdf_spec(spec, t), name, paths)
         return B.TwoSidedBSDF(nested=nested)
     if t == "diffuse":
         tex, leaf = parse_texture(spec.get("reflectance", 0.5))
@@ -260,13 +272,30 @@ def parse_bsdf(spec, name, paths):
             diffuse_reflectance=dr, specular_reflectance=sr,
         )
     if t == "mask":
-        nested_spec = spec.get("bsdf") or next(
-            v for k, v in spec.items() if isinstance(v, dict) and v.get("type") in BSDF_TYPES
-        )
-        nested = parse_bsdf(nested_spec, name, paths)
+        nested = parse_bsdf(_nested_bsdf_spec(spec, t), name, paths)
         op, leaf = parse_texture(spec.get("opacity", 0.5))
         paths.append((f"{name}.opacity.{leaf}", ("opacity", leaf)))
         return B.MaskBSDF(nested=nested, opacity=op)
+    if t in ("normalmap", "bumpmap"):
+        nested = parse_bsdf(_nested_bsdf_spec(spec, t), name, paths)
+        tex_spec = spec.get("normalmap") or spec.get("texture") or spec.get("bumpmap")
+        tex, _ = parse_texture(tex_spec if tex_spec is not None else [0.5, 0.5, 1.0])
+        if t == "bumpmap" and hasattr(tex, "data"):
+            # height -> tangent-space normals at load time (reference:
+            # src/bsdfs/bumpmap.cpp evaluates dheight/duv at runtime; our
+            # wavefront carries no uv-derivatives, so bake the equivalent
+            # normal map from central differences once)
+            h = np.asarray(tex.data)
+            if h.ndim == 3:
+                h = h.mean(-1)
+            scale = float(spec.get("scale", 1.0))
+            gy, gx = np.gradient(h * scale)
+            nrm = np.stack(
+                [-gx * h.shape[1], -gy * h.shape[0], np.ones_like(h)], axis=-1
+            )
+            nrm = nrm / np.linalg.norm(nrm, axis=-1, keepdims=True)
+            tex = TX.BitmapTexture(data=jnp.asarray((nrm + 1.0) * 0.5, jnp.float32))
+        return B.NormalmapBSDF(nested=nested, normalmap=tex)
     if t == "blendbsdf":
         nested = [
             v for k, v in spec.items()

@@ -126,3 +126,52 @@ def test_mask_scene_loads_in_rgb_path():
     }
     img = np.asarray(mi.render(mi.load_dict(d), spp=16, seed=1))
     assert np.isfinite(img).all() and img.max() > 0
+
+
+def test_normalmap_tilts_shading():
+    """A constant normal map tilting normals by ~31 deg off +z must change a
+    directionally-lit diffuse plane like the equivalent tilted plane:
+    L = albedo/pi * cos(tilt) * E for light along -z."""
+    mi.set_variant("mono")
+
+    def plane(bsdf):
+        return {
+            "type": "scene",
+            "integrator": {"type": "path", "max_depth": 3},
+            "sun": {"type": "directional", "direction": [0, 0, -1], "irradiance": 1.0},
+            "floor": {
+                "type": "rectangle",
+                "to_world": [{"type": "scale", "value": 50.0}],
+                "bsdf": bsdf,
+            },
+            "sensor": {
+                "type": "radiancemeter",
+                "to_world": [
+                    {"type": "look_at", "origin": [0, 0, 5], "target": [0, 0, 0], "up": [0, 1, 0]}
+                ],
+                "film": {"type": "hdrfilm", "width": 1, "height": 1,
+                         "rfilter": {"type": "box"}},
+                "sampler": {"type": "independent", "sample_count": 16},
+            },
+        }
+
+    import numpy as np
+    tilt = np.deg2rad(31.0)
+    n = [np.sin(tilt), 0.0, np.cos(tilt)]
+    enc = [(v + 1.0) * 0.5 for v in n]
+    d = plane({
+        "type": "normalmap",
+        "normalmap": enc,
+        "bsdf": {"type": "diffuse", "reflectance": 0.6},
+    })
+    img = np.asarray(mi.render(mi.load_dict(d), spp=512, seed=2)).mean()
+    expect = 0.6 / np.pi * np.cos(tilt)
+    np.testing.assert_allclose(img, expect, rtol=0.04)
+
+    flat = plane({
+        "type": "normalmap",
+        "normalmap": [0.5, 0.5, 1.0],
+        "bsdf": {"type": "diffuse", "reflectance": 0.6},
+    })
+    img_flat = np.asarray(mi.render(mi.load_dict(flat), spp=512, seed=2)).mean()
+    np.testing.assert_allclose(img_flat, 0.6 / np.pi, rtol=0.04)
