@@ -84,6 +84,12 @@ class Transform:
         d = target - origin
         d = d / np.linalg.norm(d)
         left = np.cross(up / np.linalg.norm(up), d)
+        if np.linalg.norm(left) < 1e-8:
+            # up parallel to the view direction: fall back to another axis
+            # instead of producing a NaN frame (the reference errors here;
+            # a silent NaN camera renders black, which is worse)
+            alt = np.array([1.0, 0, 0]) if abs(d[0]) < 0.9 else np.array([0, 1.0, 0])
+            left = np.cross(alt, d)
         left = left / np.linalg.norm(left)
         new_up = np.cross(d, left)
         m = np.eye(4, dtype=np.float32)

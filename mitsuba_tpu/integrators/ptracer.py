@@ -75,13 +75,19 @@ def _sample_emitter_ray(scene, u_sel, u_pos, u_dir, wavelengths):
                 jnp.stack([u0r, u_pos[..., 1]], axis=-1)
             )
             p_i = v0 + bary[..., 0:1] * e1 + bary[..., 1:2] * e2
-            # cosine-weighted emission direction around the normal
-            local = warp.square_to_cosine_hemisphere(u_dir)
-            s_ax, t_ax = coordinate_system(ng)
-            d_i = local[..., 0:1] * s_ax + local[..., 1:2] * t_ax + local[..., 2:3] * ng
-            # weight = Le * A * pi  (pdf_pos = 1/A, pdf_dir = cos/pi, x cos)
             rad = em.radiance.eval(bary, wavelengths, nc)
-            w_i = rad * (em.total_area * np.pi)
+            if getattr(em, "is_directional_area", False):
+                # collimated panel: emit exactly along the normal
+                # (reference: src/emitters/directionalarea.cpp)
+                d_i = jnp.broadcast_to(ng, (n, 3))
+                w_i = rad * em.total_area
+            else:
+                # cosine-weighted emission direction around the normal
+                local = warp.square_to_cosine_hemisphere(u_dir)
+                s_ax, t_ax = coordinate_system(ng)
+                d_i = local[..., 0:1] * s_ax + local[..., 1:2] * t_ax + local[..., 2:3] * ng
+                # weight = Le * A * pi  (pdf_pos = 1/A, pdf_dir = cos/pi, x cos)
+                w_i = rad * (em.total_area * np.pi)
             p = jnp.where(m[..., None], p_i, p)
             d = jnp.where(m[..., None], d_i, d)
             n_emit = jnp.where(m[..., None], ng, n_emit)

@@ -728,6 +728,40 @@ class PolarizerBSDF:
 
 
 @struct.dataclass
+class CircularPolarizerBSDF:
+    """Ideal circular polarizer surface (reference: src/bsdfs/circular.cpp):
+    transmits right- (or left-) circularly polarized light."""
+
+    transmittance: object
+    left: bool = struct.field(pytree_node=False, default=False)
+
+    flags_smooth = False
+    flags_transmission = True
+
+    def eval(self, si, wo, wavelengths, n_channels):
+        return jnp.zeros(wo.shape[:-1] + (n_channels,), jnp.float32)
+
+    def pdf(self, si, wo):
+        return jnp.zeros(wo.shape[:-1], jnp.float32)
+
+    def sample(self, u_lobe, u2, si, wavelengths, n_channels):
+        n = si.wi.shape[0]
+        t = self.transmittance.eval(si.uv, wavelengths, n_channels)
+        bs = BSDFSample(
+            wo=-si.wi, pdf=jnp.ones((n,)), eta=jnp.ones((n,)),
+            delta=jnp.ones((n,), bool),
+        )
+        return bs, 0.5 * t
+
+    def sample_pol(self, u_lobe, u2, si, wavelengths, n_channels):
+        bs, _ = self.sample(u_lobe, u2, si, wavelengths, n_channels)
+        t = self.transmittance.eval(si.uv, wavelengths, n_channels)
+        M = mu.circular_polarizer(1.0, left=self.left)
+        M = jnp.broadcast_to(M, (si.wi.shape[0], n_channels, 4, 4))
+        return bs, M * t[..., None, None]
+
+
+@struct.dataclass
 class RetarderBSDF:
     """Ideal linear retarder (wave plate) surface
     (reference: src/bsdfs/retarder.cpp)."""

@@ -357,3 +357,87 @@ def build_envmap_tables(data, scale):
     cond_cdf = np.cumsum(wgt, axis=1)
     row_cdf = np.cumsum(cond_cdf[:, -1])
     return jnp.asarray(row_cdf), jnp.asarray(cond_cdf)
+
+
+@struct.dataclass
+class ProjectorEmitter:
+    """Textured perspective projector (reference: src/emitters/projector.cpp):
+    a point source projecting an image within a perspective frustum; the
+    texture is looked up at the projected film coordinate of the outgoing
+    direction.  Delta position => NEE-only, like point/spot."""
+
+    irradiance: object            # texture (the projected image)
+    scale: jnp.ndarray
+    position: jnp.ndarray
+    to_world_r: jnp.ndarray       # [3,3] rotation: world <- projector camera
+    tan_half_fov_x: jnp.ndarray
+    aspect: float = struct.field(pytree_node=False, default=1.0)
+
+    is_environment = False
+    is_delta = True
+
+    def eval(self, si, wavelengths, n_channels):
+        return jnp.zeros(si.p.shape[:-1] + (n_channels,), jnp.float32)
+
+    def sample_direction(self, ref_p, u2, geom, wavelengths, n_channels, emitter_index):
+        n_lanes = ref_p.shape[0]
+        to_p = self.position - ref_p
+        dist2 = jnp.sum(to_p * to_p, axis=-1)
+        dist = jnp.sqrt(jnp.maximum(dist2, 1e-20))
+        d = to_p / dist[..., None]          # ref -> projector
+        # direction of projection (projector -> ref) in projector camera frame
+        v = (-d) @ self.to_world_r          # R^T (-d)
+        z = v[..., 2]
+        in_front = z > 1e-6
+        tx = self.tan_half_fov_x
+        ty = tx / self.aspect
+        u = 0.5 * (1.0 - v[..., 0] / jnp.maximum(z, 1e-6) / tx)
+        w = 0.5 * (1.0 - v[..., 1] / jnp.maximum(z, 1e-6) / ty)
+        on_film = in_front & (u >= 0) & (u < 1) & (w >= 0) & (w < 1)
+        uv = jnp.stack([u, 1.0 - w], axis=-1)
+        val = self.irradiance.eval(uv, wavelengths, n_channels) * self.scale
+        weight = jnp.where(
+            on_film[..., None], val / jnp.maximum(dist2, 1e-20)[..., None], 0.0
+        )
+        ds = _ds(
+            jnp.broadcast_to(self.position, ref_p.shape), -d, d, dist,
+            jnp.ones((n_lanes,), jnp.float32), True, emitter_index, n_lanes
+        )
+        return ds, weight
+
+    def pdf_direction(self, ref_p, si):
+        return jnp.zeros(ref_p.shape[:-1], jnp.float32)
+
+
+@struct.dataclass
+class DirectionalAreaEmitter:
+    """Area shape emitting only along its surface normal (collimated panel,
+    reference: src/emitters/directionalarea.cpp).  Doubly-delta (position x
+    direction): cannot be NEE-sampled from a point nor hit by a path — its
+    contribution comes from particle tracing (ptracer emits along +n)."""
+
+    radiance: object
+    shape_index: int = struct.field(pytree_node=False)
+    tri_index: jnp.ndarray
+    tri_cdf: jnp.ndarray
+    total_area: jnp.ndarray
+
+    is_environment = False
+    is_delta = True
+    is_directional_area = True
+
+    def eval(self, si, wavelengths, n_channels):
+        return jnp.zeros(si.p.shape[:-1] + (n_channels,), jnp.float32)
+
+    def sample_direction(self, ref_p, u2, geom, wavelengths, n_channels, emitter_index):
+        n_lanes = ref_p.shape[0]
+        zero = jnp.zeros((n_lanes, n_channels), jnp.float32)
+        ds = _ds(
+            ref_p, jnp.zeros_like(ref_p), jnp.zeros_like(ref_p),
+            jnp.zeros((n_lanes,)), jnp.zeros((n_lanes,)), True,
+            emitter_index, n_lanes,
+        )
+        return ds, zero
+
+    def pdf_direction(self, ref_p, si):
+        return jnp.zeros(ref_p.shape[:-1], jnp.float32)

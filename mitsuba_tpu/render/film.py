@@ -31,6 +31,12 @@ class Film:
     rfilter: str = struct.field(pytree_node=False, default="gaussian")
     crop_offset: tuple = struct.field(pytree_node=False, default=(0, 0))
     crop_size: tuple = struct.field(pytree_node=False, default=None)
+    # specfilm: sensor response functions, one spectrum per output channel
+    # (reference: src/films/specfilm.cpp) — empty tuple = plain hdrfilm.
+    # Channels are SRF-weighted average radiances: int srf*L / int srf
+    # (srf_norms = the load-time quadrature of each SRF over [360, 830] nm)
+    srfs: tuple = ()
+    srf_norms: tuple = struct.field(pytree_node=False, default=())
 
     @property
     def n_pixels(self):

@@ -242,3 +242,14 @@ def to_world_mueller(M, in_forward_local, out_forward_local, to_world3):
         R_in = R_in[..., None, :, :]
         R_out = R_out[..., None, :, :]
     return R_out @ M @ jnp.swapaxes(R_in, -1, -2)
+
+
+def circular_polarizer(value=1.0, left=False):
+    """Ideal circular polarizer Mueller matrix transmitting right- (or left-)
+    circularly polarized light (reference: mueller.h right/left_circular_polarizer;
+    src/bsdfs/circular.cpp)."""
+    s = -1.0 if left else 1.0
+    m = jnp.zeros((4, 4), jnp.float32)
+    m = m.at[0, 0].set(0.5).at[0, 3].set(0.5 * s)
+    m = m.at[3, 0].set(0.5 * s).at[3, 3].set(0.5)
+    return m * value

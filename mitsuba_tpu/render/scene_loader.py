@@ -23,10 +23,12 @@ from .scene import Scene
 BSDF_TYPES = {
     "diffuse", "dielectric", "thindielectric", "conductor", "roughconductor",
     "roughdielectric", "roughplastic", "plastic", "twosided", "null", "mask",
-    "blendbsdf", "polarizer", "retarder", "normalmap", "bumpmap",
+    "blendbsdf", "polarizer", "retarder", "circular", "normalmap", "bumpmap",
 }
-SHAPE_TYPES = {"rectangle", "cube", "sphere", "obj", "ply", "disk", "serialized"}
-EMITTER_TYPES = {"constant", "point", "directional", "envmap", "spot"}
+SHAPE_TYPES = {
+    "rectangle", "cube", "sphere", "obj", "ply", "disk", "serialized", "cylinder",
+}
+EMITTER_TYPES = {"constant", "point", "directional", "envmap", "spot", "projector"}
 SENSOR_TYPES = {
     "perspective", "thinlens", "orthographic", "radiancemeter",
     "irradiancemeter", "distant", "batch",
@@ -317,6 +319,11 @@ def parse_bsdf(spec, name, paths):
             theta=jnp.asarray(np.deg2rad(float(spec.get("theta", 0.0))), jnp.float32),
             transmittance=tr,
         )
+    if t == "circular":
+        tr, _ = parse_texture(spec.get("transmittance", 1.0))
+        return B.CircularPolarizerBSDF(
+            transmittance=tr, left=bool(spec.get("left_handed", False))
+        )
     if t == "retarder":
         tr, _ = parse_texture(spec.get("transmittance", 1.0))
         paths.append((f"{name}.theta", ("theta",)))
@@ -434,6 +441,52 @@ def load_dict(d):
                 spheres.append(
                     {"center": c, "radius": r * scale, "shape_index": shape_index}
                 )
+            elif t == "cylinder":
+                # open cylinder p0->p1 tessellated to a triangle strip
+                # (reference: src/shapes/cylinder.cpp — analytic there; our
+                # SoA triangle tables make a fine tessellation cheaper than a
+                # per-type analytic pass at these primitive counts)
+                k = 96
+                r = float(spec.get("radius", 1.0))
+                p0 = np.asarray(spec.get("p0", [0, 0, 0]), np.float32)
+                p1 = np.asarray(spec.get("p1", [0, 0, 1]), np.float32)
+                axis = p1 - p0
+                az = axis / max(np.linalg.norm(axis), 1e-12)
+                ax = np.array([1.0, 0, 0], np.float32)
+                if abs(az @ ax) > 0.9:
+                    ax = np.array([0, 1.0, 0], np.float32)
+                ax = ax - (ax @ az) * az
+                ax /= np.linalg.norm(ax)
+                ay = np.cross(az, ax)
+                ang = np.linspace(0, 2 * np.pi, k, endpoint=False)
+                ring = (np.outer(np.cos(ang), ax) + np.outer(np.sin(ang), ay)) * r
+                V = np.concatenate([p0 + ring, p1 + ring]).astype(np.float32)
+                N = np.concatenate([ring / r, ring / r]).astype(np.float32)
+                idx = np.arange(k, dtype=np.int32)
+                nxt = np.roll(idx, -1)
+                F = np.concatenate(
+                    [
+                        np.stack([idx, nxt, idx + k], -1),
+                        np.stack([nxt, nxt + k, idx + k], -1),
+                    ]
+                ).astype(np.int32)
+                u = np.concatenate([ang, ang]) / (2 * np.pi)
+                v = np.concatenate([np.zeros(k), np.ones(k)])
+                UV = np.stack([u, v], -1).astype(np.float32)
+                mm = np.asarray(to_world.m)
+                Vw = (mm[:3, :3] @ V.T + mm[:3, 3:4]).T.astype(np.float32)
+                Nw = (np.linalg.inv(mm[:3, :3]).T @ N.T).T
+                Nw = (Nw / np.linalg.norm(Nw, axis=-1, keepdims=True)).astype(np.float32)
+                tri_meshes.append(
+                    {"vertices": Vw, "faces": F, "normals": Nw, "uvs": UV,
+                     "shape_index": shape_index}
+                )
+            elif t == "serialized":
+                m = _load_serialized(
+                    spec["filename"], int(spec.get("shape_index", 0)), to_world
+                )
+                m["shape_index"] = shape_index
+                tri_meshes.append(m)
             elif t == "disk":
                 # approximate as a triangle fan (analytic disk later)
                 k = 64
@@ -507,8 +560,13 @@ def load_dict(d):
         )
         cdf = np.cumsum(areas).astype(np.float32)
         e_idx = len(emitters)
+        em_cls = (
+            E.DirectionalAreaEmitter
+            if em_spec.get("type") == "directionalarea"
+            else E.AreaEmitter
+        )
         emitters.append(
-            E.AreaEmitter(
+            em_cls(
                 radiance=tex, shape_index=shape_index,
                 tri_index=jnp.asarray(tri_idx), tri_cdf=jnp.asarray(cdf),
                 total_area=jnp.asarray(cdf[-1] if len(cdf) else 0.0, jnp.float32),
@@ -564,6 +622,21 @@ def load_dict(d):
                     irradiance=tex,
                     direction=jnp.asarray(dirn / np.linalg.norm(dirn)),
                     scene_radius=jnp.asarray(radius, jnp.float32),
+                )
+            )
+            param_paths.append((f"{name}.irradiance.{leaf}", ("emitters", e_idx, "irradiance", leaf)))
+        elif t == "projector":
+            tex, leaf = parse_texture(spec.get("irradiance", 1.0))
+            m = np.asarray(build_transform(spec.get("to_world", Transform.identity())).m)
+            fov = float(spec.get("fov", 45.0))
+            emitters.append(
+                E.ProjectorEmitter(
+                    irradiance=tex,
+                    scale=jnp.asarray(float(spec.get("scale", 1.0)), jnp.float32),
+                    position=jnp.asarray(m[:3, 3], jnp.float32),
+                    to_world_r=jnp.asarray(m[:3, :3], jnp.float32),
+                    tan_half_fov_x=jnp.asarray(np.tan(np.deg2rad(fov) / 2), jnp.float32),
+                    aspect=1.0,
                 )
             )
             param_paths.append((f"{name}.irradiance.{leaf}", ("emitters", e_idx, "irradiance", leaf)))
@@ -653,6 +726,67 @@ def _medium_ref(spec):
     return None
 
 
+def _load_serialized(filename, sub_index, to_world):
+    """Mitsuba .serialized mesh reader (reference: src/shapes/serialized.cpp
+    format: per-mesh [u16 magic 0x041C, u16 version, zlib stream]; file ends
+    with u64 offsets x count + u32 count; stream = u32 flags, name (v>=4),
+    u64 nverts, u64 nfaces, positions, [normals], [uvs], [colors], u32 faces).
+    """
+    import zlib
+    import struct as pystruct
+
+    with open(filename, "rb") as f:
+        data = f.read()
+    (count,) = pystruct.unpack_from("<I", data, len(data) - 4)
+    offsets = pystruct.unpack_from(
+        f"<{count}Q", data, len(data) - 4 - 8 * count
+    )
+    if not (0 <= sub_index < count):
+        raise ValueError(
+            f"shape_index {sub_index} out of range ({count} meshes in {filename!r})"
+        )
+    off = offsets[sub_index]
+    magic, version = pystruct.unpack_from("<HH", data, off)
+    if magic != 0x041C:
+        raise ValueError(f"bad .serialized magic {magic:#x} in {filename!r}")
+    end = offsets[sub_index + 1] if sub_index + 1 < count else len(data) - 4 - 8 * count
+    raw = zlib.decompress(data[off + 4:end])
+
+    pos = 0
+    (flags,) = pystruct.unpack_from("<I", raw, pos); pos += 4
+    if version >= 4:
+        nul = raw.index(b"\x00", pos)
+        pos = nul + 1
+    nv, nf = pystruct.unpack_from("<QQ", raw, pos); pos += 16
+    double = bool(flags & 0x2000)
+    ftype, fsize = ("<f8", 8) if double else ("<f4", 4)
+
+    def take(n):
+        nonlocal pos
+        a = np.frombuffer(raw, ftype, count=n, offset=pos).astype(np.float32)
+        pos += n * fsize
+        return a
+
+    V = take(3 * nv).reshape(nv, 3)
+    N = take(3 * nv).reshape(nv, 3) if flags & 0x0001 else None
+    UV = take(2 * nv).reshape(nv, 2) if flags & 0x0002 else None
+    if flags & 0x0008:
+        take(3 * nv)                       # vertex colors: parsed, unused
+    F = np.frombuffer(raw, "<u4", count=3 * nf, offset=pos).reshape(nf, 3)
+    F = F.astype(np.int32)
+
+    mm = np.asarray(to_world.m)
+    Vw = (mm[:3, :3] @ V.T + mm[:3, 3:4]).T.astype(np.float32)
+    out = {"vertices": Vw, "faces": F}
+    if N is not None:
+        Nw = (np.linalg.inv(mm[:3, :3]).T @ N.T).T
+        nrm = np.linalg.norm(Nw, axis=-1, keepdims=True)
+        out["normals"] = (Nw / np.maximum(nrm, 1e-12)).astype(np.float32)
+    if UV is not None:
+        out["uvs"] = UV.astype(np.float32)
+    return out
+
+
 def parse_sensor(spec):
     t = spec["type"]
     film_spec = spec.get("film", {})
@@ -660,7 +794,27 @@ def parse_sensor(spec):
     h = int(film_spec.get("height", 576))
     rfilter = film_spec.get("rfilter", {"type": "gaussian"})
     rf_type = rfilter["type"] if isinstance(rfilter, dict) else str(rfilter)
-    film = Film(width=w, height=h, rfilter=rf_type)
+    srfs = ()
+    if film_spec.get("type") == "specfilm":
+        # nested spectra are the per-channel sensor response functions
+        # (reference: src/films/specfilm.cpp)
+        srfs = tuple(
+            parse_texture(v)[0]
+            for k, v in film_spec.items()
+            if isinstance(v, dict)
+            and v.get("type") in ("regular", "irregular", "uniform", "d65")
+        )
+        if not srfs:
+            raise ValueError("specfilm needs at least one nested spectrum (SRF)")
+    srf_norms = ()
+    if srfs:
+        lam = jnp.linspace(360.0, 830.0, 512)
+        uv0 = jnp.zeros((512, 2), jnp.float32)
+        srf_norms = tuple(
+            float(jnp.trapezoid(srf.eval(uv0, lam[:, None], 1)[:, 0], lam))
+            for srf in srfs
+        )
+    film = Film(width=w, height=h, rfilter=rf_type, srfs=srfs, srf_norms=srf_norms)
     sampler_spec = spec.get("sampler", {})
     spp = int(sampler_spec.get("sample_count", 16))
     sampler_type = str(sampler_spec.get("type", "independent"))
@@ -712,6 +866,15 @@ def parse_sensor(spec):
             wavelength=jnp.asarray(wl, jnp.float32),
             has_target=target is not None,
         )
+    elif t == "batch":
+        nested = [
+            parse_sensor(v)[0]
+            for v in spec.values()
+            if isinstance(v, dict) and v.get("type") in SENSOR_TYPES
+        ]
+        if not nested:
+            raise ValueError("batch sensor needs nested sensors")
+        cam = SEN.BatchSensor(sensors=tuple(nested))
     else:
         raise ValueError(f"unknown sensor type {t!r}")
     return cam, film, spp, sampler_type

@@ -158,3 +158,32 @@ class DistantSensor:
     @property
     def fixed_wavelength(self):
         return self.wavelength
+
+
+@struct.dataclass
+class BatchSensor:
+    """Side-by-side composition of nested sensors on one film: film column
+    band i maps to nested sensor i with x remapped to [0,1)
+    (reference: src/sensors/batch.cpp; used with mi.render_test's
+    column-splitting, common.py:198-302)."""
+
+    sensors: tuple            # nested sensor instances
+
+    def sample_ray(self, pos_sample, ap_sample):
+        n = len(self.sensors)
+        x = pos_sample[..., 0] * n
+        idx = jnp.clip(x.astype(jnp.int32), 0, n - 1)
+        x_local = x - idx.astype(jnp.float32)
+        pos_local = jnp.stack([x_local, pos_sample[..., 1]], axis=-1)
+        ray = None
+        for i, s in enumerate(self.sensors):
+            r_i = s.sample_ray(pos_local, ap_sample)
+            if ray is None:
+                ray = r_i
+            else:
+                m = (idx == i)[..., None]
+                ray = ray.replace(
+                    o=jnp.where(m, r_i.o, ray.o),
+                    d=jnp.where(m, r_i.d, ray.d),
+                )
+        return ray

@@ -187,10 +187,24 @@ def render(scene, params=None, sensor=0, seed=0, spp=None, spp_per_pass=None):
                 scene, jnp.uint32(seed), p * spp_per_pass, this_spp, spp, sensor
             )
         if scene.n_channels == 4 and wavelengths is not None and not scene.polarized:
-            # spectral -> XYZ -> linear sRGB per lane (polarized variants keep
-            # raw I/Q/U/V[.lambda] channels, reference: integrator.cpp:1189)
-            xyz = spec.spectrum_to_xyz(L, wavelengths, jax.lax.stop_gradient(wl_pdf))
-            L = jnp.clip(spec.xyz_to_srgb(xyz), 0.0, None)
+            if film.srfs:
+                # specfilm: per-channel sensor-response contraction over the
+                # hero wavelengths (reference: src/films/specfilm.cpp)
+                uv0 = jnp.zeros((L.shape[0], 2), jnp.float32)
+                inv_pdf = 1.0 / jnp.maximum(jax.lax.stop_gradient(wl_pdf), 1e-12)
+                L = jnp.stack(
+                    [
+                        jnp.mean(srf.eval(uv0, wavelengths, 4) * L * inv_pdf, -1)
+                        / norm
+                        for srf, norm in zip(film.srfs, film.srf_norms)
+                    ],
+                    axis=-1,
+                )
+            else:
+                # spectral -> XYZ -> linear sRGB per lane (polarized variants
+                # keep raw I/Q/U/V[.lambda], reference: integrator.cpp:1189)
+                xyz = spec.spectrum_to_xyz(L, wavelengths, jax.lax.stop_gradient(wl_pdf))
+                L = jnp.clip(spec.xyz_to_srgb(xyz), 0.0, None)
         img = develop(film, L, this_spp)
         acc = img * this_spp if acc is None else acc + img * this_spp
     return acc / spp

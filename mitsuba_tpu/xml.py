@@ -86,6 +86,8 @@ def _node_to_dict(node, defaults, base_dir):
             if name == "filename" and not os.path.isabs(val):
                 val = os.path.join(base_dir, val)
             d[name] = val
+        elif tag in ("point", "vector"):
+            d[name] = _xyz(child, 0.0)
         elif tag == "rgb":
             d[name] = {"type": "rgb", "value": _parse_vec(_parse_value(child.get("value"), defaults))}
         elif tag == "spectrum":
