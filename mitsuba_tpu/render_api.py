@@ -267,3 +267,52 @@ def render_test(scene, params=None, seed=0, spp=None, sensor_count=1):
     sub_w = film.width // sensor_count
     img = img.reshape(film.height, sensor_count, sub_w, spp, c)
     return jnp.mean(img, axis=(0, 2, 3))  # [sensor_count, C]
+
+
+def scene_tangent(scene, key, tangent_value=None):
+    """Zero tangent pytree for `scene` with the parameter at `key` set to
+    `tangent_value` (default: ones) — input for render_forward."""
+    import numpy as np
+    from .render.params import _tree_get, _tree_set
+
+    path = dict(scene.param_paths)[key]
+    base = _tree_get(scene, path)
+
+    def zero_like(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return jnp.zeros_like(x)
+        if hasattr(x, "dtype"):
+            return np.zeros(x.shape, jax.dtypes.float0)
+        return np.zeros((), jax.dtypes.float0) if isinstance(x, (int,)) else 0.0
+
+    zt = jax.tree_util.tree_map(zero_like, scene)
+    t = jnp.ones_like(base) if tangent_value is None else jnp.broadcast_to(
+        jnp.asarray(tangent_value, jnp.float32), base.shape
+    )
+    return _tree_set(zt, path, t)
+
+
+def render_forward(scene, tangent=None, key=None, sensor=0, seed=0, spp=None):
+    """Forward-mode differential rendering: dimage/dtheta . tangent
+    (reference: Integrator::render_forward, integrator.h:37-381 /
+    ADIntegrator.render_forward, common.py — there driven by dr.ADMode.Forward).
+
+    Pass either a full scene-tangent pytree (`tangent`) or a parameter name
+    (`key`, tangent = ones).  Uses jax.jvp through the tape-differentiable
+    scan integrators (path/volpath families).  PRB integrators define only a
+    custom VJP (reverse replay) and raise here, matching the reference's
+    'PRBPolarizedIntegrator doesn't support forward-mode differentiation'
+    (prb_polarized.py:107-109)."""
+    if getattr(scene.integrator, "is_prb", False):
+        raise NotImplementedError(
+            "render_forward requires a tape-differentiable integrator "
+            "(path/volpath); PRB integrators implement the reverse replay only"
+        )
+    if tangent is None:
+        if key is None:
+            raise ValueError("render_forward needs `tangent` or `key`")
+        tangent = scene_tangent(scene, key)
+    _, dimg = jax.jvp(
+        lambda s: render(s, sensor=sensor, seed=seed, spp=spp), (scene,), (tangent,)
+    )
+    return dimg

@@ -155,3 +155,25 @@ def test_optimizer_recovers_albedo():
             avg = opt[key] if avg is None else avg + opt[key]
     final = np.asarray(avg / 15.0)
     np.testing.assert_allclose(final, np.asarray(target_value), atol=0.08)
+
+
+def test_render_forward_matches_reverse():
+    """Forward-mode dI/dtheta (render_forward) agrees with reverse-mode on a
+    tape integrator (reference: Integrator::render_forward contract)."""
+    scene = _small_cbox({"type": "path", "max_depth": 4})
+    key = "white.reflectance.value"
+    dimg = np.asarray(mi.render_forward(scene, key=key, spp=32, seed=7))
+    assert dimg.shape == np.asarray(mi.render(scene, spp=1, seed=0)).shape
+    # reverse-mode check on the summed image
+    path = _path_for(scene, key)
+    base = _tree_get(scene, path)
+    g = jax.grad(
+        lambda v: jnp.sum(mi.render(_tree_set(scene, path, v), spp=32, seed=7))
+    )(base)
+    np.testing.assert_allclose(dimg.sum(), np.asarray(g).sum(), rtol=1e-3)
+
+
+def test_render_forward_rejects_prb():
+    scene = _small_cbox({"type": "prb", "max_depth": 4})
+    with pytest.raises(NotImplementedError):
+        mi.render_forward(scene, key="white.reflectance.value", spp=4)
