@@ -861,3 +861,56 @@ class RoughPlasticBSDF:
             wo=wo, pdf=pdf, eta=jnp.ones_like(pdf), delta=jnp.zeros(pdf.shape, bool)
         )
         return bs, weight
+
+
+@struct.dataclass
+class PPlasticBSDF(RoughPlasticBSDF):
+    """Polarized plastic (reference: src/bsdfs/pplastic.cpp): GGX specular
+    lobe with the full polarized Fresnel Mueller matrix + Lambertian base
+    acting as an ideal depolarizer.  Scalar magnitudes (and therefore the
+    unpolarized image) match RoughPlasticBSDF exactly."""
+
+    def _lobes(self, si, wo, wavelengths, n_channels):
+        """(spec [N,C], diff [N,C]) scalar magnitudes of the two lobes."""
+        cos_i = si.wi[..., 2]
+        cos_o = wo[..., 2]
+        valid = (cos_i > 0) & (cos_o > 0)
+        h = normalize(si.wi + wo)
+        d = mf.ggx_d(h, self.alpha, self.alpha)
+        g = mf.ggx_g(si.wi, wo, h, self.alpha, self.alpha)
+        f_h, _, _, _ = fresnel(jnp.sum(si.wi * h, axis=-1), self.eta)
+        spec = (f_h * d * g / jnp.maximum(4.0 * cos_i, 1e-9))[..., None]
+        spec = spec * self.specular_reflectance.eval(si.uv, wavelengths, n_channels)
+        f_i, _, _, _ = fresnel(cos_i, self.eta)
+        f_o, _, _, _ = fresnel(cos_o, self.eta)
+        diff = self.diffuse_reflectance.eval(si.uv, wavelengths, n_channels)
+        diff = diff * (
+            (1.0 - f_i) * (1.0 - f_o) * (1.0 / (self.eta**2))
+            * INV_PI * jnp.maximum(cos_o, 0.0)
+        )[..., None]
+        zero = jnp.zeros_like(spec)
+        return (
+            jnp.where(valid[..., None], spec, zero),
+            jnp.where(valid[..., None], diff, zero),
+        )
+
+    def eval_pdf_mueller(self, si, wo, wavelengths, n_channels):
+        spec, diff = self._lobes(si, wo, wavelengths, n_channels)
+        pdf = self.pdf(si, wo)
+        h = normalize(si.wi + wo)
+        cos_h = jnp.sum(wo * h, axis=-1)
+        R = mu.specular_reflection(
+            cos_h[..., None], jnp.asarray(self.eta, jnp.complex64)
+        )
+        R = jnp.broadcast_to(R, R.shape[:-3] + (n_channels, 4, 4))
+        m00 = R[..., 0:1, 0:1]
+        R = jnp.where(jnp.abs(m00) > 1e-12, R / jnp.where(jnp.abs(m00) > 1e-12, m00, 1.0), 0.0)
+        R = rotate_specular_mueller_m(R, wo, si.wi, h)
+        M = R * spec[..., None, None] + mu.depolarizer(jnp.asarray(1.0)) * diff[..., None, None]
+        return jnp.nan_to_num(M), pdf
+
+    def sample_pol(self, u_lobe, u2, si, wavelengths, n_channels):
+        bs, _ = self.sample(u_lobe, u2, si, wavelengths, n_channels)
+        M, pdf = self.eval_pdf_mueller(si, bs.wo, wavelengths, n_channels)
+        w = M / jnp.maximum(pdf, 1e-12)[..., None, None, None]
+        return bs, jnp.where((pdf > 1e-12)[..., None, None, None], w, 0.0)

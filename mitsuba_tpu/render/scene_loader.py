@@ -23,7 +23,7 @@ from .scene import Scene
 BSDF_TYPES = {
     "diffuse", "dielectric", "thindielectric", "conductor", "roughconductor",
     "roughdielectric", "roughplastic", "plastic", "twosided", "null", "mask",
-    "blendbsdf", "polarizer", "retarder", "circular", "normalmap", "bumpmap",
+    "blendbsdf", "polarizer", "retarder", "circular", "pplastic", "normalmap", "bumpmap",
 }
 SHAPE_TYPES = {
     "rectangle", "cube", "sphere", "obj", "ply", "disk", "serialized", "cylinder",
@@ -260,6 +260,17 @@ def parse_bsdf(spec, name, paths):
             eta=jnp.asarray(eta), k=jnp.asarray(k),
             alpha_u=jnp.asarray(au, jnp.float32), alpha_v=jnp.asarray(av, jnp.float32),
             specular_reflectance=sr,
+        )
+    if t == "pplastic":
+        dr, leaf = parse_texture(spec.get("diffuse_reflectance", 0.5))
+        paths.append((f"{name}.diffuse_reflectance.{leaf}", ("diffuse_reflectance", leaf)))
+        sr, _ = parse_texture(spec.get("specular_reflectance", 1.0))
+        int_ior = _ior(spec.get("int_ior"), 1.49)
+        ext_ior = _ior(spec.get("ext_ior"), 1.000277)
+        return B.PPlasticBSDF(
+            eta=jnp.asarray(int_ior / ext_ior, jnp.float32),
+            alpha=jnp.asarray(float(spec.get("alpha", 0.06)), jnp.float32),
+            diffuse_reflectance=dr, specular_reflectance=sr,
         )
     if t in ("roughplastic", "plastic"):
         dr, leaf = parse_texture(spec.get("diffuse_reflectance", 0.5))

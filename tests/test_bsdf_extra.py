@@ -175,3 +175,53 @@ def test_normalmap_tilts_shading():
     })
     img_flat = np.asarray(mi.render(mi.load_dict(flat), spp=512, seed=2)).mean()
     np.testing.assert_allclose(img_flat, 0.6 / np.pi, rtol=0.04)
+
+
+def test_pplastic_polarizes_at_glancing():
+    """pplastic's specular lobe carries the polarized Fresnel: near-Brewster
+    reflection off the plastic coat is strongly linearly polarized while the
+    diffuse base depolarizes (reference: src/bsdfs/pplastic.cpp)."""
+    import numpy as np
+    mi.set_variant("mono_polarized")
+    brewster = np.degrees(np.arctan(1.49))
+    h = 3.0
+    x = h * np.tan(np.radians(brewster))
+    d = {
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 3},
+        "sun": {"type": "directional",
+                "direction": [float(np.sin(np.radians(brewster))), 0.0,
+                              float(-np.cos(np.radians(brewster)))],
+                "irradiance": 5.0},
+        "floor": {
+            "type": "rectangle",
+            "to_world": [{"type": "scale", "value": 50.0}],
+            "bsdf": {"type": "pplastic", "diffuse_reflectance": 0.05,
+                     "alpha": 0.08},
+        },
+        "sensor": {
+            "type": "radiancemeter",
+            "to_world": [
+                {"type": "look_at", "origin": [x, 0, h], "target": [0, 0, 0],
+                 "up": [0, 0, 1]}
+            ],
+            "film": {"type": "hdrfilm", "width": 1, "height": 1,
+                     "rfilter": {"type": "box"}},
+            "sampler": {"type": "independent", "sample_count": 16},
+        },
+    }
+    spec = np.asarray(mi.render_1(mi.load_dict(d), spp=2048))
+    I, Q, U, V = spec[:, 0]
+    assert I > 0
+    dolp = np.hypot(Q, U) / I
+    # specular near Brewster is ~fully polarized; the small diffuse term
+    # and lobe roughness wash out some of it
+    assert dolp > 0.6, (I, Q, U, V, dolp)
+
+    # unpolarized magnitudes must match roughplastic exactly
+    mi.set_variant("mono")
+    d["floor"]["bsdf"] = {"type": "pplastic", "diffuse_reflectance": 0.3, "alpha": 0.1}
+    a = np.asarray(mi.render_1(mi.load_dict(d), spp=512, seed=3))
+    d["floor"]["bsdf"] = {"type": "roughplastic", "diffuse_reflectance": 0.3, "alpha": 0.1}
+    b = np.asarray(mi.render_1(mi.load_dict(d), spp=512, seed=3))
+    np.testing.assert_allclose(a, b, rtol=1e-4)
