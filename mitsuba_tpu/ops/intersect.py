@@ -166,36 +166,59 @@ def _tri_intersect_impl(tri_table, n_tri, o, d, maxt):
     return t, p, u, v
 
 
+def mt_vjp(e1, e2, d, g_t, g_u, g_v, valid):
+    """Shared Möller-Trumbore VJP core.
+
+    The hit solves M x = b with M = [-d | e1 | e2] (columns), b = o - v0,
+    x = (t, u, v).  For cotangent g on x, y = M^{-T} g satisfies
+      <g, dx> = <y, do - dv0 + t dd - u de1 - v de2>
+    so grad_o = y, grad_v0 = -y, grad_d = t y, grad_e1 = -u y,
+    grad_e2 = -v y.  Using M^{-1} = adj/det with det = -(d . e1xe2):
+      y = (g_t (e1xe2) + g_u (d x e2) + g_v (e1 x d)) / det.
+    This supplies the *interior* (smooth) term of shape derivatives
+    (reference: mesh vertex_positions marked Differentiable|Discontinuous,
+    src/render/mesh.cpp:84-91 — the Discontinuous part is the projective
+    layer's job, ad/projective_util.py)."""
+    nrm = jnp.cross(e1, e2)
+    det = -jnp.sum(d * nrm, axis=-1)
+    ok = valid & (jnp.abs(det) > 1e-12)
+    inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    y = (
+        g_t[:, None] * nrm
+        + g_u[:, None] * jnp.cross(d, e2)
+        + g_v[:, None] * jnp.cross(e1, d)
+    ) * inv_det[:, None]
+    return jnp.where(ok[:, None], y, 0.0)
+
+
 def _fwd(tri_table, n_tri, o, d, maxt):
     out = _tri_intersect_impl(tri_table, n_tri, o, d, maxt)
     t, p, u, v = out
-    return out, (tri_table, p, t, o, d)
+    return out, (tri_table, p, t, u, v, o, d)
 
 
 def _bwd(res, cts):
-    """Analytic ray derivatives of the planar hit; zero for geometry.
-
-    t(o, d) = dot(v0 - o, n) / dot(d, n):
-      dt/do = -n / (d.n)          dt/dd = -t n / (d.n)
-    Barycentric derivatives are omitted (uv cotangents are zero in all
-    integrator paths — uv feeds detached texture lookups)."""
-    tri_table, p, t, o, d = res
+    """Full analytic VJP of the planar hit: ray (o, d) AND geometry
+    (v0, e1, e2) derivatives via mt_vjp; geometry cotangents scatter-add
+    into the triangle table."""
+    tri_table, p, t, u, v, o, d = res
     ct_t, ct_p, ct_u, ct_v = cts
     safe_p = jnp.maximum(p, 0)
     e1 = tri_table[safe_p, 3:6]
     e2 = tri_table[safe_p, 6:9]
-    nrm = jnp.cross(e1, e2)
-    dn = jnp.sum(d * nrm, axis=-1)
-    valid = (p >= 0) & (jnp.abs(dn) > 1e-12)
-    inv_dn = jnp.where(valid, 1.0 / jnp.where(valid, dn, 1.0), 0.0)
-    dt_do = -nrm * inv_dn[:, None]
-    dt_dd = dt_do * t[:, None]
-    ct = jnp.where(valid, ct_t, 0.0)[:, None]
+    valid = p >= 0
+    y = mt_vjp(e1, e2, d, ct_t, ct_u, ct_v, valid)
+    ct_rows = jnp.concatenate(
+        [-y, -u[:, None] * y, -v[:, None] * y], axis=-1
+    )  # d/d(v0 | e1 | e2)
+    ct_table = jnp.zeros_like(tri_table).at[safe_p].add(
+        jnp.where(valid[:, None], ct_rows, 0.0)
+    )
     return (
-        jnp.zeros_like(tri_table),
+        ct_table,
         np.zeros((1,), jax.dtypes.float0),   # n_tri (integer input)
-        ct * dt_do,
-        ct * dt_dd,
+        y,
+        t[:, None] * y,
         jnp.zeros_like(t),
     )
 

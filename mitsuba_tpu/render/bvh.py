@@ -109,34 +109,39 @@ def bvh_intersect_ad(bvh_lo, bvh_hi, bvh_skip, bvh_payload, tri_v0, tri_e1, tri_
 def _fwd(bvh_lo, bvh_hi, bvh_skip, bvh_payload, tri_v0, tri_e1, tri_e2, o, d, maxt):
     out = bvh_intersect(bvh_lo, bvh_hi, bvh_skip, bvh_payload, tri_v0, tri_e1, tri_e2, o, d, maxt)
     t, p, u, v = out
-    res = (bvh_lo, bvh_hi, bvh_skip, bvh_payload, tri_v0, tri_e1, tri_e2, p, t, d, maxt)
+    res = (bvh_lo, bvh_hi, bvh_skip, bvh_payload, tri_v0, tri_e1, tri_e2, p, t, u, v, d, maxt)
     return out, res
 
 
 def _bwd(res, cts):
+    """Full analytic VJP (ray AND geometry cotangents) via the shared
+    Möller-Trumbore adjoint (ops/intersect.py:mt_vjp); geometry cotangents
+    scatter-add into the per-triangle arrays, flowing back to the vertex
+    buffer through Geometry.refresh()."""
     import numpy as np
 
-    bvh_lo, bvh_hi, bvh_skip, bvh_payload, tri_v0, tri_e1, tri_e2, p, t, d, maxt = res
+    from ..ops.intersect import mt_vjp
+
+    bvh_lo, bvh_hi, bvh_skip, bvh_payload, tri_v0, tri_e1, tri_e2, p, t, u, v, d, maxt = res
     ct_t, ct_p, ct_u, ct_v = cts
     safe_p = jnp.maximum(p, 0)
-    nrm = jnp.cross(tri_e1[safe_p], tri_e2[safe_p])
-    dn = jnp.sum(d * nrm, axis=-1)
-    valid = (p >= 0) & (jnp.abs(dn) > 1e-12)
-    inv_dn = jnp.where(valid, 1.0 / jnp.where(valid, dn, 1.0), 0.0)
-    dt_do = -nrm * inv_dn[:, None]
-    dt_dd = dt_do * t[:, None]
-    ct = jnp.where(valid, ct_t, 0.0)[:, None]
+    valid = p >= 0
+    y = mt_vjp(tri_e1[safe_p], tri_e2[safe_p], d, ct_t, ct_u, ct_v, valid)
+    vmask = valid[:, None]
+    ct_v0 = jnp.zeros_like(tri_v0).at[safe_p].add(jnp.where(vmask, -y, 0.0))
+    ct_e1 = jnp.zeros_like(tri_e1).at[safe_p].add(jnp.where(vmask, -u[:, None] * y, 0.0))
+    ct_e2 = jnp.zeros_like(tri_e2).at[safe_p].add(jnp.where(vmask, -v[:, None] * y, 0.0))
     f0 = lambda x: np.zeros(jnp.shape(x), jax.dtypes.float0)
     return (
         jnp.zeros_like(bvh_lo),
         jnp.zeros_like(bvh_hi),
         f0(bvh_skip),
         f0(bvh_payload),
-        jnp.zeros_like(tri_v0),
-        jnp.zeros_like(tri_e1),
-        jnp.zeros_like(tri_e2),
-        ct * dt_do,
-        ct * dt_dd,
+        ct_v0,
+        ct_e1,
+        ct_e2,
+        y,
+        t[:, None] * y,
         jnp.zeros_like(maxt),
     )
 

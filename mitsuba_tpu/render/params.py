@@ -14,7 +14,9 @@ import jax.numpy as jnp
 
 def _tree_get(obj, path):
     for step in path:
-        if isinstance(step, int):
+        if isinstance(step, tuple) and step and step[0] == "slice":
+            obj = obj[step[1]:step[2]]
+        elif isinstance(step, int):
             obj = obj[step]
         else:
             obj = getattr(obj, step)
@@ -22,9 +24,13 @@ def _tree_get(obj, path):
 
 
 def _tree_set(obj, path, value):
-    """Functional deep-set along an attr/index path."""
+    """Functional deep-set along an attr/index path.  A step of the form
+    ('slice', start, stop) writes a row range of an array leaf (used for
+    per-shape vertex_positions views into the shared vertex buffer)."""
     step = path[0]
     if len(path) == 1:
+        if isinstance(step, tuple) and step and step[0] == "slice":
+            return obj.at[step[1]:step[2]].set(value)
         if isinstance(step, int):
             lst = list(obj)
             lst[step] = value
@@ -104,7 +110,11 @@ def _run_parameters_changed(scene, touched_paths):
     """Recompute derived state of components whose parameters changed
     (the reference's parameters_changed() cascade)."""
     recomputed = set()
+    geometry_touched = False
     for path in touched_paths:
+        if path and path[0] == "geometry":
+            geometry_touched = True
+            continue
         # component root = ('bsdfs', i) / ('media', i) / ('emitters', i) ...
         root = path[:2]
         if root in recomputed or len(root) < 2:
@@ -113,6 +123,11 @@ def _run_parameters_changed(scene, touched_paths):
         comp = _tree_get(scene, root)
         if hasattr(comp, "parameters_changed"):
             scene = _tree_set(scene, root, comp.parameters_changed())
+    if geometry_touched:
+        # vertex buffer edits re-derive the triangle tables eagerly so
+        # non-jit consumers (bbox queries, emitter CDFs) stay consistent;
+        # render passes additionally refresh inside the trace for AD
+        scene = scene.replace(geometry=scene.geometry.refresh())
     return scene
 
 

@@ -538,6 +538,17 @@ def load_dict(d):
 
     geometry = SH.build_geometry(tri_meshes, spheres)
 
+    # per-shape differentiable vertex views (reference: mesh vertex_positions,
+    # Differentiable|Discontinuous, src/render/mesh.cpp:84-91)
+    for mesh, (v_start, v_count) in zip(tri_meshes, geometry.mesh_vertex_slices):
+        sname = shape_records[mesh["shape_index"]]["name"]
+        param_paths.append(
+            (
+                f"{sname}.vertex_positions",
+                ("geometry", "vertices", ("slice", v_start, v_start + v_count)),
+            )
+        )
+
     # bbox from geometry
     pts = [np.asarray(geometry.tri_v0), np.asarray(geometry.tri_v0 + geometry.tri_e1),
            np.asarray(geometry.tri_v0 + geometry.tri_e2)]

@@ -28,8 +28,18 @@ TRI_CHUNK = 64
 @struct.dataclass
 class Geometry:
     """Flattened scene geometry.  Primitive ids: [0, n_tris) are triangles,
-    [n_tris, n_tris + n_spheres) are spheres."""
+    [n_tris, n_tris + n_spheres) are spheres.
 
+    `vertices` is the differentiable source of truth for triangle geometry
+    (the analog of the reference's Differentiable|Discontinuous mesh
+    `vertex_positions`, src/render/mesh.cpp:84-91): the per-triangle tables
+    tri_v0/e1/e2/ng/vn are *derived* from it by `refresh()`, which runs
+    inside every jitted render pass so gradients flow back to the vertex
+    buffer."""
+
+    vertices: jnp.ndarray    # [V, 3] concatenated per-mesh vertex buffer
+    vertex_normals: jnp.ndarray  # [V, 3] explicit per-vertex normals (zeros if none)
+    tri_face: jnp.ndarray    # [T, 3] int32 vertex indices (padding: all 0)
     tri_v0: jnp.ndarray      # [T, 3]
     tri_e1: jnp.ndarray      # [T, 3] v1 - v0
     tri_e2: jnp.ndarray      # [T, 3] v2 - v0
@@ -50,6 +60,39 @@ class Geometry:
     n_spheres: int = struct.field(pytree_node=False)
     has_vertex_normals: bool = struct.field(pytree_node=False)
     has_bvh: bool = struct.field(pytree_node=False, default=False)
+    # (start, count) per mesh into `vertices`, ordered like the meshes passed
+    # to build_geometry; consumed by traverse() for per-shape
+    # `vertex_positions` views
+    mesh_vertex_slices: tuple = struct.field(pytree_node=False, default=())
+
+    def refresh(self):
+        """Recompute the derived per-triangle tables from `vertices`
+        (differentiably).  The reference analog is Mesh::parameters_changed
+        recomputing face data after a vertex_positions write."""
+        f = self.tri_face
+        p0 = self.vertices[f[:, 0]]
+        p1 = self.vertices[f[:, 1]]
+        p2 = self.vertices[f[:, 2]]
+        e1 = p1 - p0
+        e2 = p2 - p0
+        ng = jnp.cross(e1, e2)
+        # double-where guard: degenerate padding triangles get a zero normal
+        # with a zero (not NaN) gradient — a bare clamp still evaluates the
+        # rsqrt VJP at ~0 and produces 0 * inf = NaN
+        n2 = jnp.sum(ng * ng, axis=-1, keepdims=True)
+        good = n2 > 1e-24
+        ng = jnp.where(good, ng * jax.lax.rsqrt(jnp.where(good, n2, 1.0)), 0.0)
+        if self.has_vertex_normals:
+            vn = jnp.stack(
+                [self.vertex_normals[f[:, k]] for k in range(3)], axis=1
+            )
+            # meshes without explicit normals carry zero vertex normals:
+            # fall back to the face normal for those rows
+            missing = jnp.sum(vn * vn, axis=-1, keepdims=True) < 1e-12
+            vn = jnp.where(missing, ng[:, None, :], vn)
+        else:
+            vn = jnp.repeat(ng[:, None, :], 3, axis=1)
+        return self.replace(tri_v0=p0, tri_e1=e1, tri_e2=e2, tri_ng=ng, tri_vn=vn)
 
 
 def build_geometry(tri_meshes, spheres):
@@ -60,10 +103,20 @@ def build_geometry(tri_meshes, spheres):
     spheres: list of dicts {center, radius, shape_index}
     """
     v0s, e1s, e2s, ngs, vns, uvs, sids = [], [], [], [], [], [], []
+    verts_all, vnorms_all, faces_all, vslices = [], [], [], []
+    v_off = 0
     any_vn = False
     for m in tri_meshes:
         V = np.asarray(m["vertices"], np.float32)
         F = np.asarray(m["faces"], np.int32)
+        verts_all.append(V)
+        faces_all.append(F + v_off)
+        if m.get("normals") is not None and len(m["normals"]) == len(V):
+            vnorms_all.append(np.asarray(m["normals"], np.float32))
+        else:
+            vnorms_all.append(np.zeros_like(V))
+        vslices.append((v_off, V.shape[0]))
+        v_off += V.shape[0]
         p0, p1, p2 = V[F[:, 0]], V[F[:, 1]], V[F[:, 2]]
         e1, e2 = p1 - p0, p2 - p0
         ng = np.cross(e1, e2)
@@ -113,6 +166,12 @@ def build_geometry(tri_meshes, spheres):
     tri_shape = pad(
         np.concatenate(sids, axis=0) if sids else np.zeros((0,), np.int32), T_pad, -1
     ).astype(np.int32)
+    vertices = cat(verts_all, (1, 3))
+    vertex_normals = cat(vnorms_all, (1, 3))
+    tri_face = pad(
+        (np.concatenate(faces_all, axis=0) if faces_all else np.zeros((0, 3), np.int32)),
+        T_pad, 0,
+    ).astype(np.int32)
 
     S = len(spheres)
     sph_center = np.asarray([s["center"] for s in spheres], np.float32).reshape(S, 3) if S else np.zeros((1, 3), np.float32)
@@ -138,6 +197,7 @@ def build_geometry(tri_meshes, spheres):
         tri_vn = tri_vn[perm]
         tri_uv = tri_uv[perm]
         tri_shape = tri_shape[perm]
+        tri_face = tri_face[perm]
         bvh_lo = nodes[:, 0:3]
         bvh_hi = nodes[:, 3:6]
         bvh_skip = nodes[:, 6].view(np.int32).copy()
@@ -149,6 +209,8 @@ def build_geometry(tri_meshes, spheres):
         bvh_payload = np.zeros((1,), np.int32)
 
     return Geometry(
+        vertices=jnp.asarray(vertices), vertex_normals=jnp.asarray(vertex_normals),
+        tri_face=jnp.asarray(tri_face), mesh_vertex_slices=tuple(vslices),
         tri_v0=jnp.asarray(tri_v0), tri_e1=jnp.asarray(tri_e1),
         tri_e2=jnp.asarray(tri_e2), tri_ng=jnp.asarray(tri_ng),
         tri_vn=jnp.asarray(tri_vn), tri_uv=jnp.asarray(tri_uv),

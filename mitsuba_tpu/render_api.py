@@ -118,6 +118,9 @@ def to_sensor_mueller(ray_d, L):
 
 def render_lanes(scene, seed, lane0, n, pass_base, spp_pass, spp_total, sensor_idx):
     """Render lanes [lane0, lane0+n) of a wavefront pass."""
+    # derive triangle tables from the vertex buffer inside the trace so
+    # gradients flow to `vertex_positions` (Geometry.refresh docstring)
+    scene = scene.replace(geometry=scene.geometry.refresh())
     rng, ray, wavelengths, wl_pdf = make_wavefront(
         scene, seed, lane0, n, pass_base, spp_pass, spp_total, sensor_idx
     )
