@@ -100,6 +100,27 @@ def make_integrator(spec):
         if nested is None:
             nested = make_integrator({"type": "volpath", "max_depth": max_depth})
         return MomentIntegrator(nested=nested)
+    if t in ("direct_projective", "prb_projective"):
+        from ..ad.projective import ProjectiveIntegrator
+
+        if current_variant().polarized:
+            raise ValueError("projective integrators support unpolarized "
+                             "variants (mono/rgb) for now")
+        if t == "direct_projective":
+            from .direct import DirectIntegrator
+
+            base = DirectIntegrator()
+        else:
+            from ..ad.prb import PRBIntegrator
+
+            base = PRBIntegrator(
+                max_depth=max_depth, rr_depth=rr_depth, hide_emitters=hide
+            )
+        return ProjectiveIntegrator(
+            base=base,
+            sppp=int(spec.get("sppp", 4)),
+            sppi=int(spec.get("sppi", 4)),
+        )
     if t == "ptracer":
         from .ptracer import PTracerIntegrator
 

@@ -13,6 +13,7 @@ sample_position).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -86,13 +87,17 @@ class AreaEmitter:
         cos_e = -dot(d, ng)
         # solid-angle pdf = dist^2 / (cos_e * A)
         valid = cos_e > 1e-6
+        # condition-based safe denominators: a bare maximum() clamp still
+        # yields inf in the masked branch whose VJP poisons geometry
+        # gradients with 0*inf = NaN
         pdf = jnp.where(
-            valid, dist2 / jnp.maximum(cos_e * self.total_area, 1e-20), 0.0
+            valid, dist2 / jnp.where(valid, cos_e * self.total_area, 1.0), 0.0
         )
         uv = bary  # use barycentric as uv surrogate for texture lookup
         val = self.radiance.eval(uv, wavelengths, n_channels)
+        pos = pdf > 0
         weight = jnp.where(
-            (pdf > 0)[..., None], val / jnp.maximum(pdf, 1e-20)[..., None], 0.0
+            pos[..., None], val / jnp.where(pos, pdf, 1.0)[..., None], 0.0
         )
         ds = _ds(p, ng, d, dist, pdf, False, emitter_index, n_lanes, uv=uv)
         return ds, weight
@@ -102,10 +107,12 @@ class AreaEmitter:
         from ref_p (reference: area.cpp pdf_direction via Shape::pdf_direction)."""
         to_p = si.p - ref_p
         dist2 = jnp.sum(to_p * to_p, axis=-1)
-        d = to_p / jnp.sqrt(jnp.maximum(dist2, 1e-20))[..., None]
+        ok = dist2 > 1e-18
+        d = to_p * jax.lax.rsqrt(jnp.where(ok, dist2, 1.0))[..., None]
         cos_e = -dot(d, si.n)
+        valid = ok & (cos_e > 1e-6)
         return jnp.where(
-            cos_e > 1e-6, dist2 / jnp.maximum(cos_e * self.total_area, 1e-20), 0.0
+            valid, dist2 / jnp.where(valid, cos_e * self.total_area, 1.0), 0.0
         )
 
 

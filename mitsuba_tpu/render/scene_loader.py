@@ -42,6 +42,7 @@ INTEGRATOR_TYPES = {
     "path", "direct", "depth", "aov", "volpath", "volpathmis", "volpathaos",
     "stokes", "moment", "ptracer", "prb", "prb_basic", "prbvolpath",
     "prb_unpolarized", "prb_polarized", "prb_volpathaos",
+    "direct_projective", "prb_projective",
 }
 
 

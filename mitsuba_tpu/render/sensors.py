@@ -34,6 +34,25 @@ class PerspectiveCamera:
         d = d_cam @ R.T
         return Ray.make(o, d)
 
+    def project(self, p):
+        """World point [N,3] -> film uv [N,2] in [0,1]^2 + validity
+        (the inverse of sample_ray; used by the projective-gradient layer
+        and differentiable w.r.t. p)."""
+        R = self.to_world_m[:3, :3]
+        pc = (p - self.to_world_m[:3, 3]) @ R    # camera frame (R orthonormal)
+        z = pc[..., 2]
+        valid = z > 1e-6
+        zs = jnp.where(valid, z, 1.0)
+        u = 0.5 * (1.0 - pc[..., 0] / (zs * self.tan_half_fov_x))
+        v = 0.5 * (1.0 - pc[..., 1] * self.aspect / (zs * self.tan_half_fov_x))
+        uv = jnp.stack([u, v], axis=-1)
+        valid = valid & (u >= 0) & (u < 1) & (v >= 0) & (v < 1)
+        return uv, valid
+
+    @property
+    def position(self):
+        return self.to_world_m[:3, 3]
+
 
 @struct.dataclass
 class ThinLensCamera:

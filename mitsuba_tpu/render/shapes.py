@@ -56,6 +56,11 @@ class Geometry:
     bvh_hi: jnp.ndarray      # [M, 3]
     bvh_skip: jnp.ndarray    # [M] int32
     bvh_payload: jnp.ndarray  # [M] int32
+    # unique mesh edges for silhouette sampling (projective gradients;
+    # reference: Shape silhouette API, include/mitsuba/render/shape.h)
+    edge_v: jnp.ndarray      # [E, 2] int32 endpoint vertex indices
+    edge_f: jnp.ndarray      # [E, 2] int32 adjacent face (tri) indices, -1 open
+    edge_shape: jnp.ndarray  # [E] int32 shape index (-1 for the empty pad row)
     n_tris: int = struct.field(pytree_node=False)
     n_spheres: int = struct.field(pytree_node=False)
     has_vertex_normals: bool = struct.field(pytree_node=False)
@@ -208,9 +213,41 @@ def build_geometry(tri_meshes, spheres):
         bvh_skip = np.full((1,), -1, np.int32)
         bvh_payload = np.zeros((1,), np.int32)
 
+    # unique-edge table (for silhouette/boundary sampling): canonical
+    # (min,max) vertex pairs with up to two adjacent faces
+    if T > 0:
+        F = tri_face[:T]
+        pairs = np.concatenate(
+            [F[:, [0, 1]], F[:, [1, 2]], F[:, [2, 0]]], axis=0
+        )
+        owner = np.tile(np.arange(T, dtype=np.int32), 3)
+        key_lo = pairs.min(axis=1).astype(np.int64)
+        key_hi = pairs.max(axis=1).astype(np.int64)
+        key = key_lo * np.int64(1 << 32) + key_hi
+        order_e = np.argsort(key, kind="stable")
+        key_s, owner_s = key[order_e], owner[order_e]
+        uniq, start = np.unique(key_s, return_index=True)
+        E = uniq.shape[0]
+        f0 = owner_s[start]
+        nxt = np.minimum(start + 1, key_s.shape[0] - 1)
+        has2 = (key_s[nxt] == uniq) & (nxt != start)
+        f1 = np.where(has2, owner_s[nxt], -1).astype(np.int32)
+        edge_v = np.stack(
+            [(uniq // (1 << 32)).astype(np.int32), (uniq % (1 << 32)).astype(np.int32)],
+            axis=-1,
+        )
+        edge_f = np.stack([f0.astype(np.int32), f1], axis=-1)
+        edge_shape = tri_shape[f0]
+    else:
+        edge_v = np.zeros((1, 2), np.int32)
+        edge_f = np.full((1, 2), -1, np.int32)
+        edge_shape = np.full((1,), -1, np.int32)
+
     return Geometry(
         vertices=jnp.asarray(vertices), vertex_normals=jnp.asarray(vertex_normals),
         tri_face=jnp.asarray(tri_face), mesh_vertex_slices=tuple(vslices),
+        edge_v=jnp.asarray(edge_v), edge_f=jnp.asarray(edge_f),
+        edge_shape=jnp.asarray(edge_shape),
         tri_v0=jnp.asarray(tri_v0), tri_e1=jnp.asarray(tri_e1),
         tri_e2=jnp.asarray(tri_e2), tri_ng=jnp.asarray(tri_ng),
         tri_vn=jnp.asarray(tri_vn), tri_uv=jnp.asarray(tri_uv),

@@ -171,6 +171,16 @@ def render(scene, params=None, sensor=0, seed=0, spp=None, spp_per_pass=None):
     if getattr(scene.integrator, "is_ptracer", False):
         return _render_ptracer(scene, seed, spp, sensor)
 
+    if getattr(scene.integrator, "is_projective", False):
+        # boundary-aware custom-vjp render op (reference: PSIntegrator
+        # render_ad, common.py:1422-1518)
+        from .ad.projective import projective_render
+
+        return projective_render(
+            scene, jnp.uint32(seed), spp, sensor,
+            scene.integrator.sppp, scene.integrator.sppi,
+        )
+
     use_prb = getattr(scene.integrator, "is_prb", False)
     acc = None
     for p in range(n_passes):

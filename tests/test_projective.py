@@ -1,0 +1,134 @@
+"""Projective (visibility/boundary) gradient validation vs finite
+differences (reference pattern: test_ad_integrators.py configs with
+translation gradients of occluders; rel tolerance style of
+test_ad_volpathaos.py:575-618)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import mitsuba_tpu as mi
+from mitsuba_tpu.render.params import _tree_get, _tree_set
+
+
+@pytest.fixture(autouse=True)
+def _rgb():
+    mi.set_variant("llvm_ad_rgb")
+    yield
+
+
+def _silhouette_scene(integrator):
+    """Emissive background plane + dark occluder: translating the occluder
+    moves its silhouette; the image changes ONLY at the boundary."""
+    return mi.load_dict({
+        "type": "scene",
+        "integrator": integrator,
+        "sensor": {
+            "type": "perspective",
+            "fov": 40.0,
+            "to_world": {"type": "look_at", "origin": [0, 0, 4],
+                         "target": [0, 0, 0], "up": [0, 1, 0]},
+            "film": {"type": "hdrfilm", "width": 24, "height": 24,
+                     "rfilter": {"type": "box"}},
+        },
+        "bg": {
+            "type": "rectangle",
+            "to_world": mi.Transform.translate([0, 0, -1]) @ mi.Transform.scale([6, 6, 1]),
+            "emitter": {"type": "area", "radiance": {"type": "rgb", "value": [1.0, 0.8, 0.6]}},
+        },
+        "occluder": {
+            "type": "rectangle",
+            "to_world": mi.Transform.translate([0.3, 0.0, 1.0]) @ mi.Transform.scale([0.6, 0.6, 1]),
+            "bsdf": {"type": "diffuse", "reflectance": {"type": "rgb", "value": [0.1, 0.1, 0.1]}},
+        },
+    })
+
+
+def _shadow_scene(integrator):
+    """Point light + floor + occluder OUTSIDE the view: the only image
+    change from translating the occluder is its moving shadow."""
+    return mi.load_dict({
+        "type": "scene",
+        "integrator": integrator,
+        "sensor": {
+            "type": "perspective",
+            "fov": 30.0,
+            "to_world": {"type": "look_at", "origin": [0, 0, 5],
+                         "target": [0, 0, 0], "up": [0, 1, 0]},
+            "film": {"type": "hdrfilm", "width": 24, "height": 24,
+                     "rfilter": {"type": "box"}},
+        },
+        "floor": {
+            "type": "rectangle",
+            "to_world": mi.Transform.scale([8, 8, 1]),
+            "bsdf": {"type": "diffuse", "reflectance": {"type": "rgb", "value": [0.7, 0.7, 0.7]}},
+        },
+        # occluder off to the side, outside the 30-degree view cone
+        "occluder": {
+            "type": "rectangle",
+            "to_world": mi.Transform.translate([2.5, 1.0, 2.0]) @ mi.Transform.scale([0.9, 0.9, 1]),
+            "bsdf": {"type": "diffuse", "reflectance": {"type": "rgb", "value": [0.2, 0.2, 0.2]}},
+        },
+        "light": {"type": "point", "position": [5.0, 2.0, 4.5], "intensity": 60.0},
+    })
+
+
+def _path_for(scene, key):
+    for k, p in scene.param_paths:
+        if k == key:
+            return p
+    raise KeyError(key)
+
+
+def _fd_vs_ad(scene, key, spp_fd=512, spp_ad=64, eps=1e-2, seed=7):
+    """Differentiate w.r.t. a uniform *scale* of the shape about its center:
+    every silhouette edge moves outward, so the boundary contribution is
+    one-signed (a pure translation's boundary terms cancel symmetrically and
+    FD would measure noise)."""
+    path = _path_for(scene, key)
+    base = _tree_get(scene, path)
+    center = jnp.mean(base, axis=0, keepdims=True)
+    offset = base - center
+
+    def loss(t, spp):
+        s2 = _tree_set(scene, path, base + t * offset)
+        return jnp.sum(mi.render(s2, spp=spp, seed=seed))
+
+    fd = (loss(jnp.asarray(eps), spp_fd) - loss(jnp.asarray(-eps), spp_fd)) / (2 * eps)
+    ad = jax.grad(lambda t: loss(t, spp_ad))(jnp.asarray(0.0))
+    return float(fd), float(ad)
+
+
+def test_primary_silhouette_gradient():
+    scene = _silhouette_scene(
+        {"type": "direct_projective", "sppp": 16, "sppi": 0}
+    )
+    fd, ad = _fd_vs_ad(scene, "occluder.vertex_positions")
+    assert abs(fd) > 10.0, fd  # the silhouette term is large here
+    assert abs(ad - fd) < 0.12 * abs(fd), (ad, fd)
+
+
+def test_shadow_boundary_gradient():
+    scene = _shadow_scene(
+        {"type": "direct_projective", "sppp": 0, "sppi": 16}
+    )
+    fd, ad = _fd_vs_ad(scene, "occluder.vertex_positions")
+    assert abs(fd) > 2.0, fd
+    assert abs(ad - fd) < 0.15 * abs(fd), (ad, fd)
+
+
+def test_prb_projective_silhouette():
+    scene = _silhouette_scene(
+        {"type": "prb_projective", "max_depth": 2, "sppp": 16, "sppi": 0}
+    )
+    fd, ad = _fd_vs_ad(scene, "occluder.vertex_positions")
+    assert abs(ad - fd) < 0.12 * abs(fd), (ad, fd)
+
+
+def test_detached_integrator_misses_boundary():
+    """Sanity: the plain (non-projective) integrator sees ~none of the
+    discontinuous gradient — the boundary term is what the projective layer
+    adds."""
+    scene = _silhouette_scene({"type": "direct"})
+    fd, ad = _fd_vs_ad(scene, "occluder.vertex_positions")
+    assert abs(ad) < 0.35 * abs(fd), (ad, fd)
