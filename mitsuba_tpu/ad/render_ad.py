@@ -19,14 +19,16 @@ import jax.numpy as jnp
 from .prb import FLOAT0, assemble_scene_cotangent
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def prb_pass(scene, seed, pass_base, spp_pass, spp_total, sensor_idx):
-    """Per-lane radiance [N, C] with PRB gradients w.r.t. scene parameters."""
-    from ..render_api import _pass_lanes, make_wavefront
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def prb_pass_lanes(scene, seed, lane0, n, pass_base, spp_pass, spp_total, sensor_idx):
+    """Radiance [n, C] for lanes [lane0, lane0+n) with PRB gradients w.r.t.
+    scene parameters.  `lane0` is traced, so one compile serves every chip of
+    a shard_map over the wavefront axis (the per-lane RNG is keyed by global
+    sample index — partition-invariant, reference: integrator.cpp:230)."""
+    from ..render_api import make_wavefront
 
-    n = _pass_lanes(scene.film, spp_pass)
     rng, ray, wavelengths, _ = make_wavefront(
-        scene, seed, 0, n, pass_base, spp_pass, spp_total, sensor_idx
+        scene, seed, lane0, n, pass_base, spp_pass, spp_total, sensor_idx
     )
     active = jnp.ones((n,), bool)
     L, _ = scene.integrator.sample(scene, rng, ray, wavelengths, active)
@@ -37,18 +39,17 @@ def prb_pass(scene, seed, pass_base, spp_pass, spp_total, sensor_idx):
     return L
 
 
-def _prb_pass_fwd(scene, seed, pass_base, spp_pass, spp_total, sensor_idx):
-    L = prb_pass(scene, seed, pass_base, spp_pass, spp_total, sensor_idx)
-    return L, (scene, seed, L)
+def _prb_pass_lanes_fwd(scene, seed, lane0, n, pass_base, spp_pass, spp_total, sensor_idx):
+    L = prb_pass_lanes(scene, seed, lane0, n, pass_base, spp_pass, spp_total, sensor_idx)
+    return L, (scene, seed, lane0, L)
 
 
-def _prb_pass_bwd(pass_base, spp_pass, spp_total, sensor_idx, res, dL):
-    scene, seed, L = res
-    from ..render_api import _pass_lanes, make_wavefront
+def _prb_pass_lanes_bwd(n, pass_base, spp_pass, spp_total, sensor_idx, res, dL):
+    scene, seed, lane0, L = res
+    from ..render_api import make_wavefront
 
-    n = _pass_lanes(scene.film, spp_pass)
     rng, ray, wavelengths, _ = make_wavefront(
-        scene, seed, 0, n, pass_base, spp_pass, spp_total, sensor_idx
+        scene, seed, lane0, n, pass_base, spp_pass, spp_total, sensor_idx
     )
     active = jnp.ones((n,), bool)
     if scene.polarized and dL.ndim == 3:
@@ -64,7 +65,18 @@ def _prb_pass_bwd(pass_base, spp_pass, spp_total, sensor_idx, res, dL):
     )
     ct_scene = assemble_scene_cotangent(scene, grads)
     ct_seed = np.zeros((), FLOAT0)
-    return ct_scene, ct_seed
+    ct_lane0 = np.zeros((), FLOAT0)
+    return ct_scene, ct_seed, ct_lane0
 
 
-prb_pass.defvjp(_prb_pass_fwd, _prb_pass_bwd)
+prb_pass_lanes.defvjp(_prb_pass_lanes_fwd, _prb_pass_lanes_bwd)
+
+
+def prb_pass(scene, seed, pass_base, spp_pass, spp_total, sensor_idx):
+    """Full-film PRB pass (all lanes of one wavefront)."""
+    from ..render_api import _pass_lanes
+
+    n = _pass_lanes(scene.film, spp_pass)
+    return prb_pass_lanes(
+        scene, seed, jnp.uint32(0), n, pass_base, spp_pass, spp_total, sensor_idx
+    )

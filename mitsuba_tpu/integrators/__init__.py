@@ -40,10 +40,22 @@ def make_integrator(spec):
         from .direct import DepthIntegrator
 
         return DepthIntegrator()
-    if t in ("volpath", "volpathmis"):
+    if t == "volpath":
         from .volpath import VolPathIntegrator
 
         return VolPathIntegrator(
+            max_depth=max_depth, rr_depth=rr_depth, hide_emitters=hide
+        )
+    if t == "volpathmis":
+        if not bool(spec.get("use_spectral_mis", True)):
+            from .volpath import VolPathIntegrator
+
+            return VolPathIntegrator(
+                max_depth=max_depth, rr_depth=rr_depth, hide_emitters=hide
+            )
+        from .volpathmis import VolPathMisIntegrator
+
+        return VolPathMisIntegrator(
             max_depth=max_depth, rr_depth=rr_depth, hide_emitters=hide
         )
     if t in ("prbvolpath", "prb_unpolarized"):

@@ -45,6 +45,14 @@ def track_segment(scene, p0, d, seg_len, medium, channel, rng, active, n_steps,
     """Delta-track one ray segment of length seg_len through `medium`
     (constant majorant): inner loop, no scene intersection.
 
+    Uses the *per-channel* majorant (the reference's spectral
+    combined_extinction): free flight is sampled at the hero channel's rate
+    maj_h, and every step carries the exact spectral transmittance-ratio
+    weight exp(-(maj_j - maj_h) dl).  Without this factor a shared scalar
+    majorant biases non-hero channels whenever p_real -> 1 (homogeneous
+    spectral media: the null branch has probability 0 and can never pay the
+    compensation weight).
+
     Returns (reached_end [N] bool, t_real [N], beta_factor [N,C], rng) where
     lanes with reached_end=False stopped at a real collision at distance
     t_real with accumulated null-collision weight beta_factor; lanes that
@@ -53,7 +61,17 @@ def track_segment(scene, p0, d, seg_len, medium, channel, rng, active, n_steps,
     n = p0.shape[0]
     nc = scene.n_channels
     in_medium = active & (medium >= 0)
-    maj = jnp.maximum(scene.medium_majorant(medium, p0), 1e-8)
+    maj_vec = jnp.maximum(scene.medium_majorant_spectrum(medium, p0), 1e-8)
+    maj_h = index_spectrum(maj_vec, channel)
+    # attached-numerator / detached-sampling-pdf estimator (both in tape and
+    # PRB replay mode; reference: prb_polarized.py:173-205 sigma/detach(prob)):
+    # sampling decisions and probability denominators are detached, physical
+    # coefficients (sigma_*, the exp ratio numerator) stay attached — the
+    # hero channel's transmittance derivative rides the exp(-(maj_att -
+    # maj_det) dl) factor whose primal value is 1
+    maj_h_det = jax.lax.stop_gradient(maj_h)
+    maj_h_ref = maj_h_det
+    del detach_flight  # both modes share the estimator above
 
     state = dict(
         t=jnp.zeros((n,), jnp.float32),
@@ -67,44 +85,40 @@ def track_segment(scene, p0, d, seg_len, medium, channel, rng, active, n_steps,
     def body(s, _):
         rng = s["rng"]
         u_flight, u_event, rng = _next2(rng)
-        dt = -jnp.log(jnp.maximum(1.0 - u_flight, 1e-20)) / maj
-        if detach_flight:
-            # PRB attached evaluation: detached sampling decisions/positions,
-            # attached coefficients with detached probability denominators
-            # (reference: prb_polarized.py:173-205 — sigma/detach(prob))
-            dt = jax.lax.stop_gradient(dt)
+        dt = -jnp.log(jnp.maximum(1.0 - u_flight, 1e-20)) / maj_h_det
         t_new = s["t"] + dt
         passed = t_new >= seg_len
-        finish = s["pending"] & passed           # survived to segment end
         collide = s["pending"] & ~passed
+        finish = s["pending"] & passed           # survived to segment end
 
         p = p0 + t_new[..., None] * d
-        ss, sn, st = scene.medium_coefficients(medium, p)
-        prob_real = jnp.clip(index_spectrum(st, channel) / maj, 0.0, 1.0)
+        ss, _, st = scene.medium_coefficients(medium, p)
+        sn = jnp.maximum(maj_vec - st, 0.0)      # per-channel null density
+        # sampling probability: fully detached (value AND pdf denominator) —
+        # an attached denominator would add a spurious -p'/p term to the
+        # gradient (detached-sampling-pdf estimator)
+        prob_real = jax.lax.stop_gradient(
+            jnp.clip(index_spectrum(st, channel) / maj_h_det, 0.0, 1.0)
+        )
         real = collide & (u_event < prob_real)
         null = collide & ~real
 
-        denom_null = maj * jnp.maximum(1.0 - prob_real, 1e-8)
-        denom_real = maj * jnp.maximum(prob_real, 1e-8)
-        if detach_flight:
-            denom_null = jax.lax.stop_gradient(denom_null)
-            denom_real = jax.lax.stop_gradient(denom_real)
+        # spectral free-flight ratio over the distance actually advanced
+        step_len = jnp.where(
+            passed, jnp.where(jnp.isfinite(seg_len), seg_len - s["t"], 0.0), dt
+        )
+        ratio = jnp.exp(-(maj_vec - maj_h_ref[..., None]) * step_len[..., None])
+        beta_f = jnp.where(
+            (collide | finish)[..., None], s["beta_f"] * ratio, s["beta_f"]
+        )
+
+        denom_null = maj_h_det * jnp.maximum(1.0 - prob_real, 1e-8)
+        denom_real = maj_h_det * jnp.maximum(prob_real, 1e-8)
         w_null = sn / denom_null[..., None]
-        beta_f = jnp.where(null[..., None], s["beta_f"] * w_null, s["beta_f"])
-        # real collision weight applied here too: sigma_s / (maj * p_real)
+        beta_f = jnp.where(null[..., None], beta_f * w_null, beta_f)
+        # real collision weight applied here too: sigma_s / (maj_h * p_real)
         w_real = ss / denom_real[..., None]
         beta_f = jnp.where(real[..., None], beta_f * w_real, beta_f)
-        if detach_flight:
-            # survival factor ratio exp(-(maj_att - maj_det) dt): primal value
-            # 1, carries the majorant's theta-derivative of the free-flight
-            # numerator (the tr/detach(tr_pdf) term of prb_polarized.py:173)
-            dmaj = maj - jax.lax.stop_gradient(maj)
-            surv = jnp.exp(-dmaj * dt)[..., None]
-            beta_f = jnp.where(collide[..., None], beta_f * surv, beta_f)
-            exit_dt = jnp.maximum(seg_len - s["t"], 0.0)
-            exit_dt = jnp.where(jnp.isfinite(exit_dt), exit_dt, 0.0)
-            surv_exit = jnp.exp(-dmaj * jax.lax.stop_gradient(exit_dt))[..., None]
-            beta_f = jnp.where(finish[..., None], beta_f * surv_exit, beta_f)
 
         return (
             dict(
@@ -130,12 +144,17 @@ def track_segment(scene, p0, d, seg_len, medium, channel, rng, active, n_steps,
 def track_segment_ratio(scene, p0, d, seg_len, medium, channel, rng, active, n_steps,
                         detach_flight=False):
     """Ratio-tracking transmittance over one segment (NEE estimator):
-    T = prod sigma_n/maj at majorant-exponential collisions
-    (reference: ratio tracking in volpathaos.cpp:349-452)."""
+    T = prod sigma_n/maj_h at hero-rate collisions, times the exact spectral
+    ratio exp(-(maj_j - maj_h) dl) per step (see track_segment; reference:
+    ratio tracking in volpathaos.cpp:349-452).  Attached-numerator /
+    detached-pdf gradient estimator in both tape and PRB-replay mode."""
     n = p0.shape[0]
     nc = scene.n_channels
     in_medium = active & (medium >= 0)
-    maj = jnp.maximum(scene.medium_majorant(medium, p0), 1e-8)
+    maj_vec = jnp.maximum(scene.medium_majorant_spectrum(medium, p0), 1e-8)
+    maj_h = index_spectrum(maj_vec, channel)
+    maj_h_det = jax.lax.stop_gradient(maj_h)
+    del detach_flight
 
     state = dict(
         t=jnp.zeros((n,), jnp.float32),
@@ -147,25 +166,20 @@ def track_segment_ratio(scene, p0, d, seg_len, medium, channel, rng, active, n_s
     def body(s, _):
         rng = s["rng"]
         u_flight, _, rng = _next2(rng)
-        dt = -jnp.log(jnp.maximum(1.0 - u_flight, 1e-20)) / maj
-        if detach_flight:
-            dt = jax.lax.stop_gradient(dt)
+        dt = -jnp.log(jnp.maximum(1.0 - u_flight, 1e-20)) / maj_h_det
         t_new = s["t"] + dt
         collide = s["pending"] & (t_new < seg_len)
+        finish = s["pending"] & (t_new >= seg_len)
         p = p0 + t_new[..., None] * d
-        _, sn, _ = scene.medium_coefficients(medium, p)
-        denom = jax.lax.stop_gradient(maj) if detach_flight else maj
-        ratio = sn / denom[..., None]
-        T = jnp.where(collide[..., None], s["T"] * ratio, s["T"])
-        if detach_flight:
-            dmaj = maj - jax.lax.stop_gradient(maj)
-            surv = jnp.exp(-dmaj * dt)[..., None]
-            T = jnp.where(collide[..., None], T * surv, T)
-            exit_dt = jnp.maximum(seg_len - s["t"], 0.0)
-            exit_dt = jnp.where(jnp.isfinite(exit_dt), exit_dt, 0.0)
-            finish = s["pending"] & (t_new >= seg_len)
-            surv_exit = jnp.exp(-dmaj * jax.lax.stop_gradient(exit_dt))[..., None]
-            T = jnp.where(finish[..., None], T * surv_exit, T)
+        _, _, st = scene.medium_coefficients(medium, p)
+        sn = jnp.maximum(maj_vec - st, 0.0)
+        step_len = jnp.where(
+            finish, jnp.where(jnp.isfinite(seg_len), seg_len - s["t"], 0.0), dt
+        )
+        surv = jnp.exp(-(maj_vec - maj_h_det[..., None]) * step_len[..., None])
+        T = jnp.where((collide | finish)[..., None], s["T"] * surv, s["T"])
+        ratio = sn / maj_h_det[..., None]
+        T = jnp.where(collide[..., None], T * ratio, T)
         return (
             dict(
                 t=jnp.where(collide, t_new, s["t"]),
@@ -178,6 +192,18 @@ def track_segment_ratio(scene, p0, d, seg_len, medium, channel, rng, active, n_s
 
     out, _ = jax.lax.scan(body, state, None, length=n_steps)
     T = jnp.where(out["pending"][..., None], 0.0, out["T"])  # unresolved -> 0
+
+    # homogeneous media: analytic transmittance (zero variance), matching
+    # the reference's Medium::transmittance_eval_pdf (medium.cpp:99-111)
+    hom = jnp.zeros((n,), bool)
+    for i, m in enumerate(scene.media):
+        if getattr(m, "is_homogeneous", False):
+            hom = hom | (medium == i)
+    _, _, st0 = scene.medium_coefficients(medium, p0)
+    len_c = jnp.where(jnp.isfinite(seg_len), seg_len, 1e8)
+    T_an = jnp.exp(-st0 * jnp.maximum(len_c, 0.0)[..., None])
+    T = jnp.where((hom & in_medium)[..., None], T_an, T)
+
     T = jnp.where(in_medium[..., None], T, jnp.ones_like(T))
     return jnp.where(active[..., None], T, jnp.ones_like(T)), out["rng"]
 

@@ -67,20 +67,40 @@ def render_sharded(scene, mesh, seed=0, spp=None, sensor=0):
     return develop(film, L, spp)
 
 
-def train_step_sharded(scene, mesh, param_paths, target, seed=0, spp=None, lr=0.05):
-    """One distributed inverse-rendering step: forward + backward with the
-    wavefront sharded over chips and parameter gradients psum-reduced over
-    the 'rays' axis (the ICI all-reduce of BASELINE.json), followed by an SGD
-    update of the selected scene parameters.
+def _lane_render(scene, seed, lane0, n_local, spp, sensor):
+    """Per-chip lane render, dispatching PRB integrators through their
+    custom-vjp replay (reference: _RenderOp -> render_backward,
+    util.py:356-408) and plain integrators through tape AD."""
+    if getattr(scene.integrator, "is_prb", False):
+        from ..ad.render_ad import prb_pass_lanes
 
-    param_paths: list of pytree paths (from scene.param_paths) to optimize.
-    Returns (new_scene, loss)."""
+        return prb_pass_lanes(
+            scene, jnp.uint32(seed), lane0, n_local, 0, spp, spp, sensor
+        )
+    L, _, _, _ = render_lanes(
+        scene, jnp.uint32(seed), lane0, n_local, 0, spp, spp, sensor
+    )
+    return L
+
+
+def grad_step_sharded(scene, mesh, param_paths, target, seed=0, spp=None, sensor=0):
+    """Distributed inverse-rendering gradient: forward + backward with the
+    wavefront sharded over chips and parameter gradients psum-reduced over
+    the 'rays' axis (the ICI all-reduce of BASELINE.json).
+
+    The backward pass is the integrator's own PRB replay (custom_vjp) when
+    the integrator is a PRB family member — the flagship path — falling back
+    to tape AD for plain integrators.  Returns (loss, grads) with grads a
+    tuple aligned with param_paths, identical (up to float reduction order)
+    to the single-chip gradient because the per-lane RNG is keyed by global
+    sample index."""
     from ..render.params import _tree_get, _tree_set
 
     film = scene.film
     spp = spp or scene.spp
     n_total = _pass_lanes(film, spp)
     n_dev = mesh.devices.size
+    assert n_total % n_dev == 0, "lanes must divide evenly across chips"
     n_local = n_total // n_dev
     lane_starts = jnp.arange(n_dev, dtype=jnp.uint32) * jnp.uint32(n_local)
 
@@ -91,9 +111,7 @@ def train_step_sharded(scene, mesh, param_paths, target, seed=0, spp=None, lr=0.
             s2 = scene
             for p, v in zip(param_paths, theta):
                 s2 = _tree_set(s2, p, v)
-            L, _, _, _ = render_lanes(
-                s2, jnp.uint32(seed), lane0[0], n_local, 0, spp, spp, 0
-            )
+            L = _lane_render(s2, seed, lane0[0], n_local, spp, sensor)
             # target arrives pre-sharded: this chip's lane block
             return jnp.sum((L - target) ** 2) / n_total
 
@@ -109,7 +127,49 @@ def train_step_sharded(scene, mesh, param_paths, target, seed=0, spp=None, lr=0.
         out_specs=(P(), P()),
         check_vma=False,
     )
-    loss, grads = jax.jit(shard_fn)(theta0, scene, lane_starts, target)
+    return jax.jit(shard_fn)(theta0, scene, lane_starts, target)
+
+
+def train_step_sharded(scene, mesh, param_paths, target, seed=0, spp=None, lr=0.05):
+    """One distributed step: sharded PRB/tape gradient + SGD update of the
+    selected scene parameters.  Returns (new_scene, loss)."""
+    from ..render.params import _tree_get, _tree_set
+
+    loss, grads = grad_step_sharded(scene, mesh, param_paths, target, seed, spp)
     for p, g in zip(param_paths, grads):
         scene = _tree_set(scene, p, _tree_get(scene, p) - lr * g)
     return scene, loss
+
+
+def scaling_efficiency(scene, param_paths, target, n_devices, seed=0, spp=None,
+                       iters=3):
+    """Measure weak-scaling efficiency of the sharded gradient step:
+    wall-time(1 device) / wall-time(n devices) on the SAME total wavefront
+    (BASELINE.md target: >=90% at full mesh).  Returns a dict with per-size
+    step times and the efficiency ratio."""
+    import time
+
+    times = {}
+    for nd in (1, n_devices):
+        mesh = make_mesh(nd)
+        # compile
+        loss, grads = grad_step_sharded(
+            scene, mesh, param_paths, target, seed, spp
+        )
+        jax.block_until_ready((loss, grads))
+        t0 = time.perf_counter()
+        for it in range(iters):
+            loss, grads = grad_step_sharded(
+                scene, mesh, param_paths, target, seed + 1 + it, spp
+            )
+        jax.block_until_ready((loss, grads))
+        times[nd] = (time.perf_counter() - t0) / iters
+    # same total work: ideal speedup = n_devices
+    speedup = times[1] / times[n_devices]
+    return {
+        "t_1dev_s": times[1],
+        "t_ndev_s": times[n_devices],
+        "speedup": speedup,
+        "efficiency": speedup / n_devices,
+        "n_devices": n_devices,
+    }

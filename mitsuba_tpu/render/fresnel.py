@@ -123,12 +123,8 @@ def fresnel_diffuse_reflectance(eta):
     (mirrors mi::fresnel_diffuse_reflectance, fresnel.h:310+)."""
     eta = jnp.asarray(eta, jnp.float32)
     inv_eta = 1.0 / eta
-    approx_lo = (
-        -0.4399
-        + 0.7099 * inv_eta
-        - 0.3319 * inv_eta**2
-        + 0.0636 * inv_eta**3
-    )
+    # Egan & Hilgeman (1973) fit, used for eta < 1 (fresnel.h:341-343)
+    approx_lo = -1.4399 * eta * eta + 0.7099 * eta + 0.6681 + 0.0636 * inv_eta
     inv_eta_2 = inv_eta * inv_eta
     inv_eta_3 = inv_eta_2 * inv_eta
     inv_eta_4 = inv_eta_3 * inv_eta

@@ -50,6 +50,14 @@ class HomogeneousMedium:
         st = self.sigma_t.eval(p, n_channels) * self.scale
         return jnp.max(st, axis=-1)
 
+    def get_majorant_spectrum(self, p, n_channels):
+        """Per-channel free-flight majorant — for homogeneous media this is
+        sigma_t itself (reference: homogeneous.cpp uses the spectral sigma_t
+        as combined_extinction), which makes hero-channel tracking analog in
+        its own channel while the exp(-(maj_j - maj_h) dt) ratio weights
+        carry the other channels exactly."""
+        return self.sigma_t.eval(p, n_channels) * self.scale
+
     def get_scattering_coefficients(self, p, n_channels):
         st = self.sigma_t.eval(p, n_channels) * self.scale
         al = self.albedo.eval(p, n_channels)
@@ -85,6 +93,11 @@ class HeterogeneousMedium:
 
     def get_majorant(self, p, n_channels):
         return jnp.broadcast_to(self.max_density, p.shape[:-1])
+
+    def get_majorant_spectrum(self, p, n_channels):
+        """Constant scalar majorant replicated per channel (reference:
+        heterogeneous.cpp:163 scale*max over both grid and channels)."""
+        return jnp.broadcast_to(self.max_density, p.shape[:-1] + (n_channels,))
 
     def get_scattering_coefficients(self, p, n_channels):
         st = self.sigma_t.eval(p, n_channels) * self.scale

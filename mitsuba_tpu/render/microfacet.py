@@ -85,3 +85,44 @@ def ggx_pdf_visible(wi, m, alpha_u, alpha_v):
 
 def ggx_g(wi, wo, m, alpha_u, alpha_v):
     return smith_g1_ggx(wi, m, alpha_u, alpha_v) * smith_g1_ggx(wo, m, alpha_u, alpha_v)
+
+
+# ---------------------------------------------------------------------------
+# GTR1 (Berry) distribution — the principled BSDF's clearcoat lobe
+# (reference: src/bsdfs/principledhelpers.h GTR1Isotropic)
+# ---------------------------------------------------------------------------
+
+def gtr1_d(m, alpha):
+    """GTR1 normal distribution (principledhelpers.h:32-40)."""
+    cos2 = m[..., 2] ** 2
+    a2 = alpha * alpha
+    res = (a2 - 1.0) / (jnp.pi * jnp.log(a2) * (1.0 + (a2 - 1.0) * cos2))
+    return jnp.where(res * m[..., 2] > 1e-20, res, 0.0)
+
+
+def gtr1_pdf(m, alpha):
+    """Plain (non-visible) NDF sampling pdf: cos_theta * D (…:42-44)."""
+    return jnp.where(m[..., 2] < 0.0, 0.0, m[..., 2] * gtr1_d(m, alpha))
+
+
+def gtr1_sample(u1, u2, alpha):
+    """Inverse-CDF sample of GTR1 (…:46-57)."""
+    phi = TWO_PI * u1
+    a2 = alpha * alpha
+    cos2 = (1.0 - jnp.power(a2, 1.0 - u2)) / (1.0 - a2)
+    sin_t = safe_sqrt(1.0 - cos2)
+    cos_t = safe_sqrt(cos2)
+    return jnp.stack([jnp.cos(phi) * sin_t, jnp.sin(phi) * sin_t, cos_t], axis=-1)
+
+
+def smith_ggx1(v, m, alpha):
+    """Separable Smith G1 used by the clearcoat lobe
+    (principledhelpers.h:93-111)."""
+    a2 = alpha * alpha
+    cos_t = jnp.abs(v[..., 2])
+    cos2 = cos_t * cos_t
+    tan2 = (1.0 - cos2) / jnp.maximum(cos2, 1e-12)
+    res = 2.0 / (1.0 + jnp.sqrt(1.0 + a2 * tan2))
+    res = jnp.where(v[..., 2] == 1.0, 1.0, res)
+    back = jnp.sum(v * m, axis=-1) * v[..., 2] <= 0.0
+    return jnp.where(back, 0.0, res)

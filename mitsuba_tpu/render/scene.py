@@ -344,6 +344,15 @@ class Scene:
             out = jnp.where(sel, m.get_majorant(p, self.n_channels), out)
         return out
 
+    def medium_majorant_spectrum(self, medium_idx, p):
+        """Per-channel majorant [N, C] (the reference's spectral
+        combined_extinction, medium.h:17-30)."""
+        out = jnp.zeros(p.shape[:-1] + (self.n_channels,), jnp.float32)
+        for i, m in enumerate(self.media):
+            sel = (medium_idx == i)[..., None]
+            out = jnp.where(sel, m.get_majorant_spectrum(p, self.n_channels), out)
+        return out
+
     def medium_coefficients(self, medium_idx, p):
         """(sigma_s, sigma_n, sigma_t) [N, C] for per-lane medium indices."""
         n = p.shape[0]

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from ..variant import current_variant
 from ..core.transform import Transform, build_transform
 from . import bsdfs as B
+from . import bsdf_principled as BP
 from . import emitters as E
 from . import sensors as SEN
 from . import shapes as SH
@@ -24,6 +25,7 @@ BSDF_TYPES = {
     "diffuse", "dielectric", "thindielectric", "conductor", "roughconductor",
     "roughdielectric", "roughplastic", "plastic", "twosided", "null", "mask",
     "blendbsdf", "polarizer", "retarder", "circular", "pplastic", "normalmap", "bumpmap",
+    "principled", "principled_thin",
 }
 SHAPE_TYPES = {
     "rectangle", "cube", "sphere", "obj", "ply", "disk", "serialized", "cylinder",
@@ -273,17 +275,109 @@ def parse_bsdf(spec, name, paths):
             alpha=jnp.asarray(float(spec.get("alpha", 0.06)), jnp.float32),
             diffuse_reflectance=dr, specular_reflectance=sr,
         )
-    if t in ("roughplastic", "plastic"):
+    if t == "roughplastic":
         dr, leaf = parse_texture(spec.get("diffuse_reflectance", 0.5))
         paths.append((f"{name}.diffuse_reflectance.{leaf}", ("diffuse_reflectance", leaf)))
         sr, _ = parse_texture(spec.get("specular_reflectance", 1.0))
         int_ior = _ior(spec.get("int_ior"), 1.49)
         ext_ior = _ior(spec.get("ext_ior"), 1.000277)
-        alpha = float(spec.get("alpha", 0.1)) if t == "roughplastic" else 0.01
+        alpha = float(spec.get("alpha", 0.1))
         return B.RoughPlasticBSDF(
             eta=jnp.asarray(int_ior / ext_ior, jnp.float32),
             alpha=jnp.asarray(alpha, jnp.float32),
             diffuse_reflectance=dr, specular_reflectance=sr,
+        )
+    if t == "plastic":
+        # true smooth plastic: delta lobe + interreflected diffuse
+        # (reference: src/bsdfs/plastic.cpp)
+        dr, leaf = parse_texture(spec.get("diffuse_reflectance", 0.5))
+        paths.append((f"{name}.diffuse_reflectance.{leaf}", ("diffuse_reflectance", leaf)))
+        sr, _ = parse_texture(spec.get("specular_reflectance", 1.0))
+        int_ior = _ior(spec.get("int_ior"), 1.49)
+        ext_ior = _ior(spec.get("ext_ior"), 1.000277)
+        d_mean = float(dr.mean())
+        s_mean = float(sr.mean())
+        return BP.SmoothPlasticBSDF(
+            eta=jnp.asarray(int_ior / ext_ior, jnp.float32),
+            diffuse_reflectance=dr, specular_reflectance=sr,
+            nonlinear=bool(spec.get("nonlinear", False)),
+            specular_sampling_weight=s_mean / max(d_mean + s_mean, 1e-8),
+        )
+    if t == "principled":
+        # reference: src/bsdfs/principled.cpp:189-237 (param parsing + the
+        # specular<->eta one-to-one map)
+        def _has(key):
+            v = spec.get(key)
+            if v is None:
+                return False
+            if isinstance(v, (int, float)):
+                return float(v) != 0.0
+            return True
+        if "eta" in spec and "specular" in spec:
+            raise ValueError("principled: specify either 'eta' or 'specular'")
+        if "eta" in spec:
+            eta = float(spec["eta"])
+            if _has("spec_trans") and eta == 1.0:
+                eta = 1.001
+        else:
+            specular = float(spec.get("specular", 0.5))
+            if _has("spec_trans") and specular == 0.0:
+                specular = 1e-3
+            eta = 2.0 / (1.0 - np.sqrt(0.08 * specular)) - 1.0
+        texs = {}
+        defaults = dict(
+            base_color=0.5, roughness=0.5, anisotropic=0.0, metallic=0.0,
+            spec_trans=0.0, spec_tint=0.0, sheen=0.0, sheen_tint=0.0,
+            flatness=0.0, clearcoat=0.0, clearcoat_gloss=0.0,
+        )
+        for key, dflt in defaults.items():
+            tex, leaf = parse_texture(spec.get(key, dflt))
+            texs[key] = tex
+            if key in ("base_color", "roughness", "metallic"):
+                paths.append((f"{name}.{key}.{leaf}", (key, leaf)))
+        return BP.PrincipledBSDF(
+            eta=jnp.asarray(eta, jnp.float32),
+            has_anisotropic=_has("anisotropic"), has_metallic=_has("metallic"),
+            has_spec_trans=_has("spec_trans"), has_spec_tint=_has("spec_tint"),
+            has_sheen=_has("sheen"), has_sheen_tint=_has("sheen_tint"),
+            has_flatness=_has("flatness"), has_clearcoat=_has("clearcoat"),
+            spec_srate=float(spec.get("main_specular_sampling_rate", 1.0)),
+            clearcoat_srate=float(spec.get("clearcoat_sampling_rate", 1.0)),
+            diff_refl_srate=float(spec.get("diffuse_reflectance_sampling_rate", 1.0)),
+            **texs,
+        )
+    if t == "principled_thin":
+        # reference: src/bsdfs/principledthin.cpp:158-190
+        def _has(key):
+            v = spec.get(key)
+            if v is None:
+                return False
+            if isinstance(v, (int, float)):
+                return float(v) != 0.0
+            return True
+        texs = {}
+        defaults = dict(
+            base_color=0.5, roughness=0.5, anisotropic=0.0, spec_trans=0.0,
+            spec_tint=0.0, sheen=0.0, sheen_tint=0.0, flatness=0.0,
+            diff_trans=0.0,
+        )
+        for key, dflt in defaults.items():
+            tex, leaf = parse_texture(spec.get(key, dflt))
+            texs[key] = tex
+            if key in ("base_color", "roughness"):
+                paths.append((f"{name}.{key}.{leaf}", (key, leaf)))
+        eta_tex, _ = parse_texture(spec.get("eta", 1.5))
+        return BP.PrincipledThinBSDF(
+            eta_thin=eta_tex,
+            has_anisotropic=_has("anisotropic"),
+            has_spec_trans=_has("spec_trans"), has_spec_tint=_has("spec_tint"),
+            has_sheen=_has("sheen"), has_sheen_tint=_has("sheen_tint"),
+            has_flatness=_has("flatness"), has_diff_trans=_has("diff_trans"),
+            spec_refl_srate=float(spec.get("specular_reflectance_sampling_rate", 1.0)),
+            spec_trans_srate=float(spec.get("specular_transmittance_sampling_rate", 1.0)),
+            diff_trans_srate=float(spec.get("diffuse_transmittance_sampling_rate", 1.0)),
+            diff_refl_srate=float(spec.get("diffuse_reflectance_sampling_rate", 1.0)),
+            **texs,
         )
     if t == "mask":
         nested = parse_bsdf(_nested_bsdf_spec(spec, t), name, paths)

@@ -63,14 +63,14 @@ constexpr int kMaxLeaf = 8;
 constexpr int kBins = 16;
 
 int build_recursive(std::vector<Prim> &prims, int start, int end,
-                    std::vector<BuildNode> &nodes) {
+                    std::vector<BuildNode> &nodes, int max_leaf = kMaxLeaf) {
     BuildNode node;
     for (int i = start; i < end; i++) node.box.grow(prims[i].box);
     int n = end - start;
     int my = (int)nodes.size();
     nodes.push_back(node);
 
-    if (n <= kMaxLeaf) {
+    if (n <= max_leaf) {
         nodes[my].start = start;
         nodes[my].count = n;
         return my;
@@ -131,8 +131,8 @@ int build_recursive(std::vector<Prim> &prims, int start, int end,
         }
     }
 
-    int l = build_recursive(prims, start, mid, nodes);
-    int r = build_recursive(prims, mid, end, nodes);
+    int l = build_recursive(prims, start, mid, nodes, max_leaf);
+    int r = build_recursive(prims, mid, end, nodes, max_leaf);
     nodes[my].left = l;
     nodes[my].right = r;
     return my;
@@ -194,6 +194,60 @@ int mtpu_build_bvh(const float *tris, int n_tris, float **nodes_out,
         int32_t skip = fi + size_of[fi];          // next node after my subtree
         if (skip >= m) skip = -1;
         int32_t payload = (n.left < 0) ? ((n.start << 4) | (n.count & 0xF)) : 0;
+        memcpy(dst + 6, &skip, 4);
+        memcpy(dst + 7, &payload, 4);
+    }
+
+    int *perm = (int *)malloc((size_t)n_tris * sizeof(int));
+    for (int i = 0; i < n_tris; i++) perm[i] = prims[i].index;
+
+    *nodes_out = flat;
+    *n_nodes_out = m;
+    *prim_order_out = perm;
+    return 0;
+}
+
+// Wide-leaf variant feeding the Pallas block-traversal kernel
+// (mitsuba_tpu/ops/bvh_sweep.py): identical threaded layout except the leaf
+// payload is (prim_start << 8) | count with count in 1..max_leaf (max_leaf up
+// to 255), so leaves hold whole triangle *chunks* that the kernel sweeps with
+// 8-triangle x 128-ray VPU tiles.
+int mtpu_build_bvh_wide(const float *tris, int n_tris, int max_leaf,
+                        float **nodes_out, int *n_nodes_out,
+                        int **prim_order_out) {
+    if (n_tris <= 0 || max_leaf < 1 || max_leaf > 255) return -1;
+    std::vector<Prim> prims(n_tris);
+    for (int i = 0; i < n_tris; i++) {
+        const float *t = tris + i * 9;
+        float p0[3] = {t[0], t[1], t[2]};
+        float p1[3] = {t[0] + t[3], t[1] + t[4], t[2] + t[5]};
+        float p2[3] = {t[0] + t[6], t[1] + t[7], t[2] + t[8]};
+        prims[i].box.grow(p0);
+        prims[i].box.grow(p1);
+        prims[i].box.grow(p2);
+        for (int k = 0; k < 3; k++)
+            prims[i].centroid[k] = (prims[i].box.lo[k] + prims[i].box.hi[k]) * 0.5f;
+        prims[i].index = i;
+    }
+
+    std::vector<BuildNode> bnodes;
+    bnodes.reserve(2 * n_tris / std::max(max_leaf / 2, 1) + 64);
+    build_recursive(prims, 0, n_tris, bnodes, max_leaf);
+
+    std::vector<int> order, size_of;
+    order.reserve(bnodes.size());
+    dfs_order(bnodes, 0, order, size_of);
+
+    int m = (int)order.size();
+    float *flat = (float *)malloc((size_t)m * 8 * sizeof(float));
+    for (int fi = 0; fi < m; fi++) {
+        const BuildNode &n = bnodes[order[fi]];
+        float *dst = flat + (size_t)fi * 8;
+        memcpy(dst, n.box.lo, 12);
+        memcpy(dst + 3, n.box.hi, 12);
+        int32_t skip = fi + size_of[fi];
+        if (skip >= m) skip = -1;
+        int32_t payload = (n.left < 0) ? ((n.start << 8) | (n.count & 0xFF)) : 0;
         memcpy(dst + 6, &skip, 4);
         memcpy(dst + 7, &payload, 4);
     }

@@ -1,0 +1,152 @@
+"""Multi-chip sharding tests on the 8-virtual-CPU-device mesh (conftest).
+
+Covers VERDICT round-1 item 4: the sharded training path must run the PRB
+custom-vjp replay (not tape AD) and produce gradients identical to the
+single-chip PRB gradient; render_sharded must reproduce the single-chip
+image bitwise (partition-invariant RNG keying, reference:
+integrator.cpp:230,1102-1112 seed arithmetic).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mitsuba_tpu as mi
+from mitsuba_tpu.parallel.sharding import (
+    grad_step_sharded,
+    make_mesh,
+    render_sharded,
+    train_step_sharded,
+)
+
+
+def _scene(integrator=None, w=16, h=16, spp=8):
+    mi.set_variant("llvm_ad_rgb")
+    d = mi.cornell_box()
+    d["sensor"]["film"]["width"] = w
+    d["sensor"]["film"]["height"] = h
+    d["sensor"]["sampler"]["sample_count"] = spp
+    if integrator is not None:
+        d["integrator"] = integrator
+    return mi.load_dict(d), spp
+
+
+def test_render_sharded_bitwise_matches_single_chip():
+    scene, spp = _scene()
+    img8 = render_sharded(scene, make_mesh(8), seed=3, spp=spp)
+    img1 = render_sharded(scene, make_mesh(1), seed=3, spp=spp)
+    np.testing.assert_array_equal(np.asarray(img8), np.asarray(img1))
+    img = mi.render(scene, seed=3, spp=spp)
+    np.testing.assert_allclose(np.asarray(img8), np.asarray(img), rtol=1e-5, atol=1e-6)
+
+
+def test_prb_sharded_grads_match_single_chip():
+    scene, spp = _scene({"type": "prb", "max_depth": 4})
+    assert getattr(scene.integrator, "is_prb", False)
+    paths = [p for k, p in scene.param_paths if k == "white.reflectance.value"]
+    assert paths
+    n = 16 * 16 * spp
+    target = jnp.zeros((n, 3), jnp.float32)
+    loss8, g8 = grad_step_sharded(scene, make_mesh(8), paths, target, seed=0, spp=spp)
+    loss1, g1 = grad_step_sharded(scene, make_mesh(1), paths, target, seed=0, spp=spp)
+    assert np.isfinite(float(loss8))
+    np.testing.assert_allclose(float(loss8), float(loss1), rtol=1e-6)
+    for a, b in zip(g8, g1):
+        assert float(jnp.max(jnp.abs(a))) > 0.0  # gradient actually flows
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def test_prb_sharded_grad_matches_unsharded_prb_grad():
+    """shard_map+psum of the replay == plain custom-vjp gradient."""
+    from mitsuba_tpu.render.params import _tree_get, _tree_set
+    from mitsuba_tpu.ad.render_ad import prb_pass
+
+    scene, spp = _scene({"type": "prb", "max_depth": 4})
+    paths = [p for k, p in scene.param_paths if k == "white.reflectance.value"]
+    n = 16 * 16 * spp
+    target = jnp.zeros((n, 3), jnp.float32)
+
+    def loss_fn(theta):
+        s2 = scene
+        for p, v in zip(paths, theta):
+            s2 = _tree_set(s2, p, v)
+        L = prb_pass(s2, jnp.uint32(0), 0, spp, spp, 0)
+        return jnp.sum((L - target) ** 2) / n
+
+    theta0 = tuple(_tree_get(scene, p) for p in paths)
+    g_ref = jax.grad(loss_fn)(theta0)
+    _, g8 = grad_step_sharded(scene, make_mesh(8), paths, target, seed=0, spp=spp)
+    for a, b in zip(g8, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def test_train_step_sharded_descends():
+    scene, spp = _scene({"type": "prb", "max_depth": 4})
+    paths = [p for k, p in scene.param_paths if k == "white.reflectance.value"]
+    n = 16 * 16 * spp
+    target = jnp.zeros((n, 3), jnp.float32)
+    mesh = make_mesh(8)
+    s1, l0 = train_step_sharded(scene, mesh, paths, target, seed=0, spp=spp, lr=0.2)
+    _, l1 = train_step_sharded(s1, mesh, paths, target, seed=0, spp=spp, lr=0.2)
+    assert float(l1) < float(l0)
+
+
+def test_sharded_volumetric_prb_runs():
+    """prbvolpath (volumetric replay) under shard_map."""
+    mi.set_variant("mono")
+    try:
+        d = {
+            "type": "scene",
+            "integrator": {"type": "prbvolpath", "max_depth": 3},
+            "a_medium": {
+                "type": "homogeneous",
+                "phase": {"type": "hg", "g": 0.5},
+                "albedo": 0.5,
+                "sigma_t": 1.0,
+            },
+            "top": {
+                "type": "rectangle", "bsdf": {"type": "null"},
+                "to_world": [
+                    {"type": "scale", "value": [1000.0, 1000.0, 1.0]},
+                    {"type": "translate", "value": [0.0, 0.0, 1.0]},
+                ],
+                "interior": {"type": "ref", "id": "a_medium"},
+            },
+            "bottom": {
+                "type": "rectangle",
+                "bsdf": {"type": "diffuse", "reflectance": 0.0},
+                "to_world": [{"type": "scale", "value": [1000.0, 1000.0, 1.0]}],
+                "exterior": {"type": "ref", "id": "a_medium"},
+            },
+            "light": {
+                "type": "rectangle",
+                "to_world": [
+                    {"type": "rotate", "axis": [0, 1, 0], "angle": -180},
+                    {"type": "translate", "value": [0.0, 0.0, 5.0]},
+                ],
+                "emitter": {"type": "area", "radiance": 3.0},
+            },
+            "sensor": {
+                "type": "radiancemeter",
+                "to_world": [
+                    {"type": "look_at", "origin": [0, 0, 4],
+                     "target": [0, 0, 0], "up": [0, 1, 0]}
+                ],
+                "film": {"type": "hdrfilm", "width": 8, "height": 8,
+                         "rfilter": {"type": "box"}},
+                "sampler": {"type": "independent", "sample_count": 8},
+            },
+        }
+        scene = mi.load_dict(d)
+        assert getattr(scene.integrator, "is_prb", False)
+        paths = [p for k, p in scene.param_paths if "sigma_t" in k]
+        assert paths
+        n = 8 * 8 * 8
+        target = jnp.zeros((n, 1), jnp.float32)
+        loss8, g8 = grad_step_sharded(scene, make_mesh(8), paths, target, seed=0, spp=8)
+        loss1, g1 = grad_step_sharded(scene, make_mesh(1), paths, target, seed=0, spp=8)
+        np.testing.assert_allclose(float(loss8), float(loss1), rtol=1e-6)
+        for a, b in zip(g8, g1):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+    finally:
+        mi.set_variant("rgb")
