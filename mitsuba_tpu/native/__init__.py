@@ -42,6 +42,10 @@ def get_lib():
     lib.mtpu_build_bvh.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int, fpp, ip, ipp,
     ]
+    lib.mtpu_build_bvh_wide.restype = ctypes.c_int
+    lib.mtpu_build_bvh_wide.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int, fpp, ip, ipp,
+    ]
     lib.mtpu_free.restype = None
     lib.mtpu_free.argtypes = [ctypes.c_void_p]
     _lib = lib
@@ -116,6 +120,27 @@ def build_bvh(tris):
     )
     if rc != 0:
         raise RuntimeError(f"mtpu_build_bvh failed with code {rc}")
+    nd = _take_f32(lib, nodes, n_nodes.value * 8).reshape(-1, 8)
+    po = _take_i32(lib, order, tris.shape[0])
+    return nd, po
+
+
+def build_bvh_wide(tris, max_leaf=64):
+    """Wide-leaf binned-SAH threaded BVH (leaf payload = start << 8 | count,
+    count <= max_leaf) feeding the Pallas block-traversal kernel
+    (mitsuba_tpu/ops/bvh_sweep.py).  Same return contract as build_bvh."""
+    lib = get_lib()
+    tris = np.ascontiguousarray(tris, np.float32)
+    t_ptr = tris.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    nodes = ctypes.POINTER(ctypes.c_float)()
+    order = ctypes.POINTER(ctypes.c_int)()
+    n_nodes = ctypes.c_int()
+    rc = lib.mtpu_build_bvh_wide(
+        t_ptr, tris.shape[0], int(max_leaf), ctypes.byref(nodes),
+        ctypes.byref(n_nodes), ctypes.byref(order),
+    )
+    if rc != 0:
+        raise RuntimeError(f"mtpu_build_bvh_wide failed with code {rc}")
     nd = _take_f32(lib, nodes, n_nodes.value * 8).reshape(-1, 8)
     po = _take_i32(lib, order, tris.shape[0])
     return nd, po

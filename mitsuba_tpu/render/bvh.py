@@ -55,13 +55,16 @@ def bvh_intersect(
         tmax = jnp.min(jnp.maximum(t0, t1), axis=-1)
         hit_box = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < s["best_t"])
 
+        # wide-leaf payload: start << 8 | count (native/src/bvh.cpp,
+        # mtpu_build_bvh_wide)
         is_leaf = payload != 0
-        start = payload >> 4
-        count = payload & 0xF
+        start = payload >> 8
+        count = payload & 0xFF
 
-        bt, bp, bu, bv = s["best_t"], s["best_p"], s["best_u"], s["best_v"]
         do_leaf = s["alive"] & (s["node"] >= 0) & hit_box & is_leaf
-        for j in range(8):      # kMaxLeaf in native/src/bvh.cpp
+
+        def leaf_tri(j, carry):
+            bt, bp, bu, bv = carry
             pid = start + j
             in_leaf = do_leaf & (j < count)
             pid_safe = jnp.clip(pid, 0, tri_v0.shape[0] - 1)
@@ -85,6 +88,16 @@ def bvh_intersect(
             bp = jnp.where(hit, pid, bp)
             bu = jnp.where(hit, u, bu)
             bv = jnp.where(hit, v, bv)
+            return bt, bp, bu, bv
+
+        from ..ops.bvh_sweep import MAX_WIDE_LEAF
+
+        n_leaf = jnp.max(jnp.where(do_leaf, count, 0))
+        n_leaf = jnp.minimum(n_leaf, MAX_WIDE_LEAF)
+        bt, bp, bu, bv = jax.lax.fori_loop(
+            0, n_leaf, leaf_tri,
+            (s["best_t"], s["best_p"], s["best_u"], s["best_v"]),
+        )
 
         descend = hit_box & ~is_leaf
         nxt = jnp.where(descend, node + 1, skip)

@@ -190,8 +190,10 @@ def build_geometry(tri_meshes, spheres):
     if has_bvh:
         from .. import native as native_mod
 
+        from ..ops.bvh_sweep import MAX_WIDE_LEAF
+
         tris9 = np.concatenate([tri_v0[:T], tri_e1[:T], tri_e2[:T]], axis=-1)
-        nodes, order = native_mod.build_bvh(tris9)
+        nodes, order = native_mod.build_bvh_wide(tris9, max_leaf=MAX_WIDE_LEAF)
         # reorder all per-tri arrays to BVH leaf order (padding tris dropped:
         # BVH paths never index beyond T)
         perm = np.concatenate([order, np.arange(T, T_pad)]).astype(np.int64)
@@ -308,13 +310,25 @@ def ray_intersect_preliminary(geom: Geometry, ray: Ray, active=None):
         active = jnp.ones((N,), bool)
 
     if geom.has_bvh:
-        from .bvh import bvh_intersect_ad
-
         maxt = jnp.where(active, ray.maxt, -jnp.inf)
-        t_b, p_b, u_b, v_b = bvh_intersect_ad(
-            geom.bvh_lo, geom.bvh_hi, geom.bvh_skip, geom.bvh_payload,
-            geom.tri_v0, geom.tri_e1, geom.tri_e2, ray.o, ray.d, maxt,
-        )
+        if jax.default_backend() != "cpu":
+            # Pallas block-traversal kernel: SMEM node table + 8-tri x
+            # 128-ray VPU sweep tiles (ops/bvh_sweep.py)
+            from ..ops.bvh_sweep import bvh_sweep_intersect
+
+            nbox = jnp.concatenate([geom.bvh_lo, geom.bvh_hi], axis=-1)
+            nmeta = jnp.stack([geom.bvh_skip, geom.bvh_payload], axis=-1)
+            t_b, p_b, u_b, v_b = bvh_sweep_intersect(
+                nbox, nmeta, geom.tri_v0, geom.tri_e1, geom.tri_e2,
+                ray.o, ray.d, maxt,
+            )
+        else:
+            from .bvh import bvh_intersect_ad
+
+            t_b, p_b, u_b, v_b = bvh_intersect_ad(
+                geom.bvh_lo, geom.bvh_hi, geom.bvh_skip, geom.bvh_payload,
+                geom.tri_v0, geom.tri_e1, geom.tri_e2, ray.o, ray.d, maxt,
+            )
         best_t = jnp.where(p_b >= 0, t_b, jnp.where(active, ray.maxt, -jnp.inf))
         best_uv = jnp.stack([u_b, v_b], axis=-1)
         return _sphere_pass(geom, ray, best_t, p_b, best_uv)

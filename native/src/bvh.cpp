@@ -10,8 +10,8 @@
 //   [0:3] bbox lo   [3:6] bbox hi
 //   [6]   bitcast int: skip index (next node if this subtree is missed/done;
 //         -1 = end of traversal)
-//   [7]   bitcast int: leaf payload = (prim_start << 4) | count for leaves
-//         (count in 1..15), or 0 for internal nodes.
+//   [7]   bitcast int: leaf payload = (prim_start << 8) | count for leaves
+//         (count in 1..255), or 0 for internal nodes.
 // Traversal rule per lane: if bbox hit -> for internal, next = i + 1;
 // for leaf, intersect prims [start, start+count) then next = skip.
 // If bbox missed -> next = skip.  Primitives are referenced through a
@@ -193,7 +193,7 @@ int mtpu_build_bvh(const float *tris, int n_tris, float **nodes_out,
         memcpy(dst + 3, n.box.hi, 12);
         int32_t skip = fi + size_of[fi];          // next node after my subtree
         if (skip >= m) skip = -1;
-        int32_t payload = (n.left < 0) ? ((n.start << 4) | (n.count & 0xF)) : 0;
+        int32_t payload = (n.left < 0) ? ((n.start << 8) | (n.count & 0xFF)) : 0;
         memcpy(dst + 6, &skip, 4);
         memcpy(dst + 7, &payload, 4);
     }

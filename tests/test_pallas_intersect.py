@@ -61,3 +61,52 @@ def test_pallas_inactive_lanes():
     p = np.asarray(p)
     assert (p[1::2] == -1).all()       # disabled lanes never hit
     assert (p[0::2] >= 0).any()
+
+
+def _random_tri_soup(n_tris, seed=7):
+    rng = np.random.default_rng(seed)
+    v0 = rng.uniform(-10, 10, (n_tris, 3)).astype(np.float32)
+    e1 = rng.normal(0, 1.5, (n_tris, 3)).astype(np.float32)
+    e2 = rng.normal(0, 1.5, (n_tris, 3)).astype(np.float32)
+    return v0, e1, e2
+
+
+def test_bvh_sweep_matches_xla_traversal():
+    """The Pallas block-traversal kernel (ops/bvh_sweep.py, interpret mode on
+    CPU) must agree with the XLA while_loop traversal (render/bvh.py) on the
+    same wide-leaf BVH."""
+    from mitsuba_tpu import native as native_mod
+    from mitsuba_tpu.ops.bvh_sweep import bvh_sweep_intersect, MAX_WIDE_LEAF
+    from mitsuba_tpu.render.bvh import bvh_intersect
+
+    v0, e1, e2 = _random_tri_soup(3000)
+    tris9 = np.concatenate([v0, e1, e2], axis=-1)
+    nodes, order = native_mod.build_bvh_wide(tris9, max_leaf=MAX_WIDE_LEAF)
+    v0, e1, e2 = v0[order], e1[order], e2[order]
+
+    rng = np.random.default_rng(11)
+    N = 1024
+    o = rng.uniform(-15, 15, (N, 3)).astype(np.float32)
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    maxt = np.full((N,), np.inf, np.float32)
+
+    lo, hi = nodes[:, 0:3], nodes[:, 3:6]
+    skip = nodes[:, 6].view(np.int32)
+    payload = nodes[:, 7].view(np.int32)
+    t_x, p_x, u_x, v_x = bvh_intersect(
+        jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(skip), jnp.asarray(payload),
+        jnp.asarray(v0), jnp.asarray(e1), jnp.asarray(e2),
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(maxt),
+    )
+    nbox = jnp.asarray(np.concatenate([lo, hi], axis=-1))
+    nmeta = jnp.asarray(np.stack([skip, payload], axis=-1))
+    t_s, p_s, u_s, v_s = bvh_sweep_intersect(
+        nbox, nmeta, jnp.asarray(v0), jnp.asarray(e1), jnp.asarray(e2),
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(maxt),
+    )
+    assert np.array_equal(np.asarray(p_x), np.asarray(p_s))
+    np.testing.assert_allclose(np.asarray(t_x), np.asarray(t_s), rtol=1e-6)
+    hit = np.asarray(p_x) >= 0
+    np.testing.assert_allclose(np.asarray(u_x)[hit], np.asarray(u_s)[hit], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v_x)[hit], np.asarray(v_s)[hit], rtol=1e-5, atol=1e-6)
