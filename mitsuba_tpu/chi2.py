@@ -170,13 +170,17 @@ def BSDFAdapter(bsdf, wi, n_channels=1):
     return sample_func, pdf_func
 
 
-def PhaseFunctionAdapter(phase, n_channels=1):
+def PhaseFunctionAdapter(phase, n_channels=1, mei_maker=None):
+    """mei_maker(n) builds the MediumInteraction batch for phases that need
+    position/frame context (e.g. sggx); None for direction-only phases."""
     def sample_func(u1, u2):
-        wo, _, _ = phase.sample(None, u1, u2, None, n_channels)
+        mei = mei_maker(u1.shape[0]) if mei_maker is not None else None
+        wo, _, _ = phase.sample(mei, u1, u2, None, n_channels)
         return wo
 
     def pdf_func(d):
-        _, pdf = phase.eval_pdf(None, d, None, n_channels)
+        mei = mei_maker(d.shape[0]) if mei_maker is not None else None
+        _, pdf = phase.eval_pdf(mei, d, None, n_channels)
         return pdf
 
     return sample_func, pdf_func

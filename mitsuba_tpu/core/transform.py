@@ -140,7 +140,7 @@ def build_transform(spec):
             s = Transform.scale(op["value"])
         elif kind == "rotate":
             s = Transform.rotate(op["axis"], op["angle"])
-        elif kind == "look_at":
+        elif kind in ("look_at", "lookat"):
             s = Transform.look_at(op["origin"], op["target"], op["up"])
         elif kind == "matrix":
             s = Transform.from_matrix(op["value"])

@@ -92,7 +92,7 @@ def track_segment(scene, p0, d, seg_len, medium, channel, rng, active, n_steps,
         finish = s["pending"] & passed           # survived to segment end
 
         p = p0 + t_new[..., None] * d
-        ss, _, st = scene.medium_coefficients(medium, p)
+        ss, _, st = scene.medium_coefficients(medium, p, d)
         sn = jnp.maximum(maj_vec - st, 0.0)      # per-channel null density
         # sampling probability: fully detached (value AND pdf denominator) —
         # an attached denominator would add a spurious -p'/p term to the
@@ -171,7 +171,7 @@ def track_segment_ratio(scene, p0, d, seg_len, medium, channel, rng, active, n_s
         collide = s["pending"] & (t_new < seg_len)
         finish = s["pending"] & (t_new >= seg_len)
         p = p0 + t_new[..., None] * d
-        _, _, st = scene.medium_coefficients(medium, p)
+        _, _, st = scene.medium_coefficients(medium, p, d)
         sn = jnp.maximum(maj_vec - st, 0.0)
         step_len = jnp.where(
             finish, jnp.where(jnp.isfinite(seg_len), seg_len - s["t"], 0.0), dt
@@ -199,7 +199,7 @@ def track_segment_ratio(scene, p0, d, seg_len, medium, channel, rng, active, n_s
     for i, m in enumerate(scene.media):
         if getattr(m, "is_homogeneous", False):
             hom = hom | (medium == i)
-    _, _, st0 = scene.medium_coefficients(medium, p0)
+    _, _, st0 = scene.medium_coefficients(medium, p0, d)
     len_c = jnp.where(jnp.isfinite(seg_len), seg_len, 1e8)
     T_an = jnp.exp(-st0 * jnp.maximum(len_c, 0.0)[..., None])
     T = jnp.where((hom & in_medium)[..., None], T_an, T)

@@ -93,7 +93,7 @@ def track_segment_mis(scene, p0, d, seg_len, medium, channel, rng, active, n_ste
         collide = s["pending"] & ~passed
 
         p = p0 + t_new[..., None] * d
-        ss, sn, st = scene.medium_coefficients(medium, p)
+        ss, sn, st = scene.medium_coefficients(medium, p, d)
         prob_real = jnp.clip(index_spectrum(st, channel) / maj, 0.0, 1.0)
         real = collide & (u_event < prob_real)
         null = collide & ~real
@@ -175,7 +175,7 @@ def nee_transmittance_mis(scene, p0, ds, medium_idx0, channel, rng, active,
             t_new = s["t"] + dt
             collide = s["pending"] & (t_new < seg_len)
             p = ray.o + t_new[..., None] * d
-            _, sn, _ = scene.medium_coefficients(state["medium"], p)
+            _, sn, _ = scene.medium_coefficients(state["medium"], p, d)
             fac_n = _upd_mat(
                 s["fac_n"],
                 jnp.where(

@@ -146,6 +146,14 @@ def parse_phase(spec, param_paths, phase_prefix, phase_path_root):
         nodes = np.linspace(-1.0, 1.0, values.shape[0]).astype(np.float32)
         param_paths.append((f"{phase_prefix}.values", phase_path_root + ("values",)))
         return PH.TabulatedPhase(nodes=jnp.asarray(nodes), values=jnp.asarray(values))
+    if t == "sggx":
+        from .volumes import parse_volume
+
+        vol, leaf = parse_volume(spec.get("S", [1.0, 1.0, 1.0, 0.0, 0.0, 0.0]), 6)
+        param_paths.append(
+            (f"{phase_prefix}.S.{leaf}", phase_path_root + ("S", leaf))
+        )
+        return PH.SGGXPhase(S=vol)
     if t in ("mie", "tabphase_polarized", "blendphase"):
         from .phase_polarized import parse_polarized_phase
 
@@ -161,7 +169,7 @@ def parse_medium(spec, name, phase_list, param_paths, medium_index):
         for v in spec.values():
             if isinstance(v, dict) and v.get("type") in (
                 "isotropic", "hg", "rayleigh", "mie", "tabphase",
-                "tabphase_polarized", "blendphase",
+                "tabphase_polarized", "blendphase", "sggx",
             ):
                 phase_spec = v
                 break

@@ -13,12 +13,13 @@ Fork conventions mirrored exactly (load-bearing for Mueller bookkeeping):
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
 from ..core import warp
 from ..core.math import INV_FOUR_PI
-from ..core.frame import cross, normalize
+from ..core.frame import cross, normalize, coordinate_system
 from . import mueller as mu
 
 
@@ -126,6 +127,133 @@ class RayleighPhase:
         M = rotate_phase_mueller(M, wo, wi_hat)
         pdf = warp.square_to_rayleigh_pdf(wo)
         return M, pdf
+
+
+def sggx_ndf_pdf(wm, s6):
+    """SGGX normal distribution D(wm) (reference:
+    include/mitsuba/render/microflake.h sggx_pdf).  wm: [N,3] (any orthonormal
+    basis, consistent with s6); s6: [N,6] = [Sxx,Syy,Szz,Sxy,Sxz,Syz]."""
+    xx, yy, zz, xy, xz, yz = [s6[..., i] for i in range(6)]
+    det_s = jnp.abs(
+        xx * yy * zz - xx * yz * yz - yy * xz * xz - zz * xy * xy
+        + 2.0 * xy * xz * yz
+    )
+    wx, wy, wz = wm[..., 0], wm[..., 1], wm[..., 2]
+    den = (
+        wx * wx * (yy * zz - yz * yz)
+        + wy * wy * (xx * zz - xz * xz)
+        + wz * wz * (xx * yy - xy * xy)
+        + 2.0 * (
+            wx * wy * (xz * yz - zz * xy)
+            + wx * wz * (xy * yz - yy * xz)
+            + wy * wz * (xy * xz - xx * yz)
+        )
+    )
+    return det_s * jnp.sqrt(det_s) / (jnp.pi * jnp.maximum(den, 1e-20) ** 2)
+
+
+def sggx_projected_area(wi, s6):
+    """sigma(wi) = sqrt(wi^T S wi) (microflake.h sggx_projected_area)."""
+    wx, wy, wz = wi[..., 0], wi[..., 1], wi[..., 2]
+    sigma2 = (
+        wx * wx * s6[..., 0] + wy * wy * s6[..., 1] + wz * wz * s6[..., 2]
+        + 2.0 * (
+            wx * wy * s6[..., 3] + wx * wz * s6[..., 4] + wy * wz * s6[..., 5]
+        )
+    )
+    return jnp.sqrt(jnp.maximum(sigma2, 0.0))
+
+
+def _sggx_quad(u, v, s6):
+    """u^T S v for the symmetric S packed as s6."""
+    xx, yy, zz, xy, xz, yz = [s6[..., i] for i in range(6)]
+    sv0 = xx * v[..., 0] + xy * v[..., 1] + xz * v[..., 2]
+    sv1 = xy * v[..., 0] + yy * v[..., 1] + yz * v[..., 2]
+    sv2 = xz * v[..., 0] + yz * v[..., 1] + zz * v[..., 2]
+    return u[..., 0] * sv0 + u[..., 1] * sv1 + u[..., 2] * sv2
+
+
+def sggx_sample_normal(wi, u2, s6):
+    """Sample the SGGX visible-normal distribution (microflake.h
+    sggx_sample), world coordinates.  wi: [N,3] incident direction (toward
+    the origin of the incoming ray); returns wm [N,3]."""
+    x_a, y_a = coordinate_system(wi)
+    # S projected into the (x', y', z'=wi) frame; indices (k,j,i)=(x,y,z)
+    s_kk = _sggx_quad(x_a, x_a, s6)
+    s_jj = _sggx_quad(y_a, y_a, s6)
+    s_ii = _sggx_quad(wi, wi, s6)
+    s_kj = _sggx_quad(x_a, y_a, s6)
+    s_ki = _sggx_quad(x_a, wi, s6)
+    s_ji = _sggx_quad(y_a, wi, s6)
+
+    xx, yy, zz, xy, xz, yz = [s6[..., i] for i in range(6)]
+    det_s = jnp.abs(
+        xx * yy * zz - xx * yz * yz - yy * xz * xz - zz * xy * xy
+        + 2.0 * xy * xz * yz
+    )
+    inv_sqrt_s_ii = jax.lax.rsqrt(jnp.maximum(s_ii, 1e-20))
+    tmp = jnp.sqrt(jnp.maximum(s_jj * s_ii - s_ji * s_ji, 1e-20))
+    m_k_x = jnp.sqrt(det_s) / tmp
+    m_j_x = -inv_sqrt_s_ii * (s_ki * s_ji - s_kj * s_ii) / tmp
+    m_j_y = inv_sqrt_s_ii * tmp
+    # m_i = inv_sqrt_s_ii * (s_ki, s_ji, s_ii)
+    uvw = warp.square_to_cosine_hemisphere(u2)
+    u, v, w = uvw[..., 0], uvw[..., 1], uvw[..., 2]
+    n_x = u * m_k_x + v * m_j_x + w * inv_sqrt_s_ii * s_ki
+    n_y = v * m_j_y + w * inv_sqrt_s_ii * s_ji
+    n_z = w * inv_sqrt_s_ii * s_ii
+    wm = (
+        n_x[..., None] * x_a + n_y[..., None] * y_a + n_z[..., None] * wi
+    )
+    return normalize(wm)
+
+
+@struct.dataclass
+class SGGXPhase:
+    """SGGX microflake phase function (reference: src/phase/sggx.cpp,
+    include/mitsuba/render/microflake.h; Heitz et al. 2015).  Specular
+    microflakes: sample a visible normal, mirror-reflect; the phase value
+    equals its pdf (perfect importance sampling, sggx.cpp:108-135).  The
+    medium's sigma_t is scaled by the projected area sigma(wi) at each
+    collision (reference: homogeneous.cpp:158-159, heterogeneous.cpp:193-194
+    — wired through Scene.medium_coefficients)."""
+
+    S: object     # 6-channel volume: [Sxx, Syy, Szz, Sxy, Sxz, Syz]
+    is_microflake = True
+
+    def _s6(self, mei):
+        return self.S.eval(mei.p, 6)
+
+    def _wi_world(self, mei):
+        # local wi = (0,0,-1), frame n = ray.d  =>  world wi = -ray.d
+        return -mei.sh_n
+
+    def projected_area(self, mei):
+        return sggx_projected_area(self._wi_world(mei), self._s6(mei))
+
+    def sample(self, mei, u1, u2, wavelengths, n_channels):
+        s6 = self._s6(mei)
+        wi = self._wi_world(mei)
+        wm = sggx_sample_normal(wi, u2, s6)
+        pa = jnp.maximum(sggx_projected_area(wi, s6), 1e-12)
+        pdf = 0.25 * sggx_ndf_pdf(wm, s6) / pa
+        wo_w = 2.0 * jnp.sum(wi * wm, axis=-1, keepdims=True) * wm - wi
+        wo = mei.to_local(normalize(wo_w))
+        weight = jnp.ones(wo.shape[:-1] + (n_channels,), jnp.float32)
+        return wo, weight, pdf
+
+    def eval_pdf(self, mei, wo, wavelengths, n_channels):
+        s6 = self._s6(mei)
+        wi = self._wi_world(mei)
+        wo_w = mei.to_world(wo)
+        h = normalize(wo_w + wi)
+        pa = jnp.maximum(sggx_projected_area(wi, s6), 1e-12)
+        pdf = 0.25 * sggx_ndf_pdf(h, s6) / pa
+        # degenerate half-vector (wo == -wi): density 0
+        pdf = jnp.where(
+            jnp.sum((wo_w + wi) ** 2, axis=-1) < 1e-12, 0.0, pdf
+        )
+        return jnp.broadcast_to(pdf[..., None], pdf.shape + (n_channels,)), pdf
 
 
 @struct.dataclass

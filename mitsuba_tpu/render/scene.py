@@ -353,14 +353,29 @@ class Scene:
             out = jnp.where(sel, m.get_majorant_spectrum(p, self.n_channels), out)
         return out
 
-    def medium_coefficients(self, medium_idx, p):
-        """(sigma_s, sigma_n, sigma_t) [N, C] for per-lane medium indices."""
+    def medium_coefficients(self, medium_idx, p, d=None):
+        """(sigma_s, sigma_n, sigma_t) [N, C] for per-lane medium indices.
+
+        When `d` (the ray propagation direction) is given and a medium's
+        phase function is a microflake distribution, sigma_t/sigma_s are
+        scaled by the projected area sigma(wi = -d) and the null density
+        compensates (reference: homogeneous.cpp:158-159,
+        heterogeneous.cpp:193-194)."""
         n = p.shape[0]
         z = jnp.zeros((n, self.n_channels), jnp.float32)
         ss, sn, st = z, z, z
         for i, m in enumerate(self.media):
             sel = (medium_idx == i)[..., None]
             ss_i, sn_i, st_i = m.get_scattering_coefficients(p, self.n_channels)
+            ph = self.phases[m.phase_index]
+            if d is not None and getattr(ph, "is_microflake", False):
+                from .phase import sggx_projected_area
+
+                pa = sggx_projected_area(-d, ph.S.eval(p, 6))[..., None]
+                st_pa = st_i * pa
+                sn_i = jnp.maximum(sn_i + st_i - st_pa, 0.0)
+                ss_i = ss_i * pa
+                st_i = st_pa
             ss = jnp.where(sel, ss_i, ss)
             sn = jnp.where(sel, sn_i, sn)
             st = jnp.where(sel, st_i, st)

@@ -509,6 +509,20 @@ def load_dict(d):
             media_list.append(med)
             media_names[name] = idx
 
+    def resolve_medium(spec, owner_name):
+        """Medium attachment: {'type':'ref'} to a named medium, or an inline
+        medium dict (registered on first use), or None -> -1."""
+        if spec is None:
+            return -1
+        if isinstance(spec, dict) and spec.get("type") == "ref":
+            return media_names.get(spec["id"], -1)
+        if isinstance(spec, dict) and spec.get("type") in MEDIUM_TYPES:
+            idx = len(media_list)
+            med = parse_medium(spec, owner_name, phase_list, param_paths, idx)
+            media_list.append(med)
+            return idx
+        return -1
+
     # pass 3: everything else
     shape_emitter_specs = []   # (shape_index, radiance_spec, shape_name)
     for name, spec in d.items():
@@ -614,8 +628,8 @@ def load_dict(d):
                 "name": name,
                 "bsdf": resolve_bsdf(spec.get("bsdf"), name),
                 "emitter": -1,
-                "interior": media_names.get(_medium_ref(spec.get("interior")), -1),
-                "exterior": media_names.get(_medium_ref(spec.get("exterior")), -1),
+                "interior": resolve_medium(spec.get("interior"), f"{name}.interior_medium"),
+                "exterior": resolve_medium(spec.get("exterior"), f"{name}.exterior_medium"),
             }
             if "emitter" in spec:
                 shape_emitter_specs.append((shape_index, spec["emitter"], name))
