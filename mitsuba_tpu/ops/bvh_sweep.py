@@ -42,9 +42,30 @@ MAX_WIDE_LEAF = 64          # must match the builder call in render/shapes.py
 INT_BIG = 0x7FFFFFF0    # sentinel for the prim-id argmin select
 
 
-def _kernel(T_pad, nbox_ref, nmeta_ref, tri_ref,
+WBUF = MAX_WIDE_LEAF + 8       # 8-aligned leaf DMA window, rows
+NWIN = 16                      # traversal window: nodes tested per batch
+LFLUSH = 16                    # leaf-list capacity between sweep flushes
+
+
+def _kernel(T_pad, anyhit, nbox_ref, nmeta_ref, tri_ref,
             ox, oy, oz, dx, dy, dz, mt,
-            t_out, p_out, u_out, v_out):
+            t_out, p_out, u_out, v_out,
+            leaf_buf, leaf_pl, leaf_sem):
+    """Windowed block traversal with interleaved chunked sweeps.
+
+    The while_loop's per-iteration scalar sync (~500 cycles measured) made
+    one-node-per-step traversal the bottleneck, so each iteration:
+
+      1. slab-tests a WINDOW of NWIN consecutive DFS-order nodes against the
+         whole [8, 128] ray block (vector work only), packing the per-node
+         any-hit bits into ONE scalar via a lane-max + sublane-sum reduction;
+      2. walks the window's bits with pure scalar ops (SMEM skip links),
+         appending hit leaves to a small SMEM list;
+      3. when the list fills (LFLUSH) or traversal ends, sweeps the listed
+         leaves with double-buffered DMA of their [WBUF, 128] HBM windows,
+         updating the best-hit state in the output refs — so later windows
+         prune against the tightened best-t.
+    """
     o_x = ox[...]
     o_y = oy[...]
     o_z = oz[...]
@@ -58,136 +79,196 @@ def _kernel(T_pad, nbox_ref, nmeta_ref, tri_ref,
     inv_dy = 1.0 / jnp.where(jnp.abs(d_y) < eps, jnp.where(d_y >= 0, eps, -eps), d_y)
     inv_dz = 1.0 / jnp.where(jnp.abs(d_z) < eps, jnp.where(d_z >= 0, eps, -eps), d_z)
 
-    best_t0 = maxt
-    best_p0 = jnp.full(o_x.shape, -1, jnp.int32)
-    best_u0 = jnp.zeros(o_x.shape, jnp.float32)
-    best_v0 = jnp.zeros(o_x.shape, jnp.float32)
+    t_out[...] = maxt
+    p_out[...] = jnp.full(o_x.shape, -1, jnp.int32)
+    u_out[...] = jnp.zeros(o_x.shape, jnp.float32)
+    v_out[...] = jnp.zeros(o_x.shape, jnp.float32)
+
+    tri_ids8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    n_nodes = nmeta_ref.shape[0] // 2
 
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_ROWS, LANES), 0)
-    tri_ids8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+
+    def _leaf_copy(i, slot):
+        start = leaf_pl[i] >> 8
+        w8 = (start >> 3) << 3
+        return pltpu.make_async_copy(
+            tri_ref.at[pl.ds(w8, WBUF), :],
+            leaf_buf.at[pl.ds(slot * WBUF, WBUF), :],
+            leaf_sem.at[slot],
+        )
+
+    def _sweep_leaf(i, slot):
+        """Moller-Trumbore over one DMA-resident leaf; updates output refs.
+        Group loop is UNROLLED with static scratch slices (dynamic sublane
+        offsets forced relayouts) and the buffer slot is specialized by a
+        scalar branch for the same reason."""
+        payload = leaf_pl[i]
+        start = payload >> 8
+        count = payload & 0xFF
+        w8 = (start >> 3) << 3
+
+        for slot_val in (0, 1):
+            @pl.when(slot == slot_val)
+            def _slot(slot_val=slot_val):
+                bt = t_out[...]
+                bp = p_out[...]
+                bu = u_out[...]
+                bv = v_out[...]
+                for j in range(WBUF // 8):
+                    sbase = slot_val * WBUF + 8 * j
+                    g = w8 + 8 * j
+                    chunk = leaf_buf[sbase : sbase + 8, 0:16]
+                    v0x = chunk[:, 0:1]
+                    v0y = chunk[:, 1:2]
+                    v0z = chunk[:, 2:3]
+                    e1x = chunk[:, 3:4]
+                    e1y = chunk[:, 4:5]
+                    e1z = chunk[:, 5:6]
+                    e2x = chunk[:, 6:7]
+                    e2y = chunk[:, 7:8]
+                    e2z = chunk[:, 8:9]
+                    pid = g + tri_ids8
+                    tri_ok = (pid >= start) & (pid < start + count)
+
+                    for r in range(BLOCK_ROWS):
+                        o_xr = o_x[r : r + 1, :]
+                        o_yr = o_y[r : r + 1, :]
+                        o_zr = o_z[r : r + 1, :]
+                        d_xr = d_x[r : r + 1, :]
+                        d_yr = d_y[r : r + 1, :]
+                        d_zr = d_z[r : r + 1, :]
+
+                        pvx = d_yr * e2z - d_zr * e2y
+                        pvy = d_zr * e2x - d_xr * e2z
+                        pvz = d_xr * e2y - d_yr * e2x
+                        det = e1x * pvx + e1y * pvy + e1z * pvz
+                        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+                        tvx = o_xr - v0x
+                        tvy = o_yr - v0y
+                        tvz = o_zr - v0z
+                        uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                        qvx = tvy * e1z - tvz * e1y
+                        qvy = tvz * e1x - tvx * e1z
+                        qvz = tvx * e1y - tvy * e1x
+                        vv = (d_xr * qvx + d_yr * qvy + d_zr * qvz) * inv_det
+                        tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                        bt_r = bt[r : r + 1, :]
+                        hitt = (
+                            tri_ok
+                            & (jnp.abs(det) > 1e-12)
+                            & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                            & (tt > 0.0) & (tt < bt_r)
+                        )
+                        tt = jnp.where(hitt, tt, jnp.inf)
+                        tmin_r = jnp.min(tt, axis=0, keepdims=True)
+                        improved = tmin_r < bt_r
+                        selm = tt == tmin_r
+                        pid_r = jnp.min(jnp.where(selm, pid, INT_BIG), axis=0, keepdims=True)
+                        u_r = jnp.min(jnp.where(selm, uu, jnp.inf), axis=0, keepdims=True)
+                        v_r = jnp.min(jnp.where(selm, vv, jnp.inf), axis=0, keepdims=True)
+
+                        upd = (row_ids == r) & improved
+                        if anyhit:
+                            # occlusion query: first hit wins; -inf best-t
+                            # kills every later box test for that ray, so
+                            # the walk footprint collapses as rays resolve
+                            tmin_r = jnp.full_like(tmin_r, -jnp.inf)
+                        bt = jnp.where(upd, tmin_r, bt)
+                        bp = jnp.where(upd, pid_r, bp)
+                        bu = jnp.where(upd, u_r, bu)
+                        bv = jnp.where(upd, v_r, bv)
+                t_out[...] = bt
+                p_out[...] = bp
+                u_out[...] = bu
+                v_out[...] = bv
 
     def cond(s):
-        return s[0] >= 0
+        node, nl = s
+        return (node >= 0) | (nl > 0)
 
     def body(s):
-        node, bt, bp, bu, bv = s
-        # node tables are FLAT 1-D SMEM arrays: a 2-D SMEM window pads its
-        # last dim to 128 lanes (4551x6 f32 ballooned to 2.3MB > the 1MB SMEM
-        # budget on v5e); flat indexing keeps them at true size
-        nb = node * 6
-        lo_x = nbox_ref[nb]
-        lo_y = nbox_ref[nb + 1]
-        lo_z = nbox_ref[nb + 2]
-        hi_x = nbox_ref[nb + 3]
-        hi_y = nbox_ref[nb + 4]
-        hi_z = nbox_ref[nb + 5]
-        skip = nmeta_ref[2 * node]
-        payload = nmeta_ref[2 * node + 1]
+        node, nl = s
 
-        tx0 = (lo_x - o_x) * inv_dx
-        tx1 = (hi_x - o_x) * inv_dx
-        ty0 = (lo_y - o_y) * inv_dy
-        ty1 = (hi_y - o_y) * inv_dy
-        tz0 = (lo_z - o_z) * inv_dz
-        tz1 = (hi_z - o_z) * inv_dz
-        tmin = jnp.maximum(
-            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-            jnp.minimum(tz0, tz1),
-        )
-        tmax = jnp.minimum(
-            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-            jnp.maximum(tz0, tz1),
-        )
-        hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < bt)
-        any_hit = jnp.any(hit)
-        is_leaf = payload != 0
+        # -- 1. batched window test: nodes [node, node+NWIN) ----------------
+        w0 = jnp.maximum(node, 0)
+        bt = t_out[...]
+        bits = jnp.int32(0)
+        for k in range(NWIN):
+            nk = jnp.minimum(w0 + k, n_nodes - 1)
+            nb = nk * 6
+            lo_x = nbox_ref[nb]
+            lo_y = nbox_ref[nb + 1]
+            lo_z = nbox_ref[nb + 2]
+            hi_x = nbox_ref[nb + 3]
+            hi_y = nbox_ref[nb + 4]
+            hi_z = nbox_ref[nb + 5]
+            tx0 = (lo_x - o_x) * inv_dx
+            tx1 = (hi_x - o_x) * inv_dx
+            ty0 = (lo_y - o_y) * inv_dy
+            ty1 = (hi_y - o_y) * inv_dy
+            tz0 = (lo_z - o_z) * inv_dz
+            tz1 = (hi_z - o_z) * inv_dz
+            tmin = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                jnp.minimum(tz0, tz1),
+            )
+            tmax = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                jnp.maximum(tz0, tz1),
+            )
+            hit_k = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < bt)
+            bits = bits | (jnp.max(jnp.where(hit_k, 1, 0)) << k)
 
-        def sweep(acc):
-            bt, bp, bu, bv = acc
-            start = payload >> 8
-            count = payload & 0xFF
-            n_groups = (count + 7) // 8
+        # -- 2. scalar walk of the window ----------------------------------
+        def wcond(ws):
+            cur, wnl = ws
+            return (cur >= 0) & (cur < w0 + NWIN) & (wnl < LFLUSH)
 
-            def gbody(j, acc):
-                bt, bp, bu, bv = acc
-                g = jnp.minimum(start + 8 * j, T_pad - 8)
-                chunk = tri_ref[pl.ds(g, 8), :]          # [8, 16]
-                v0x = chunk[:, 0:1]
-                v0y = chunk[:, 1:2]
-                v0z = chunk[:, 2:3]
-                e1x = chunk[:, 3:4]
-                e1y = chunk[:, 4:5]
-                e1z = chunk[:, 5:6]
-                e2x = chunk[:, 6:7]
-                e2y = chunk[:, 7:8]
-                e2z = chunk[:, 8:9]
-                pid = g + tri_ids8                        # [8, 1]
-                tri_ok = (pid >= start) & (pid < start + count)
+        def wbody(ws):
+            cur, wnl = ws
+            b = (bits >> (cur - w0)) & 1
+            payload = nmeta_ref[2 * cur + 1]
+            skip = nmeta_ref[2 * cur]
+            is_leaf = payload != 0
+            take = (b == 1) & is_leaf
 
-                for r in range(BLOCK_ROWS):
-                    o_xr = o_x[r : r + 1, :]              # [1, 128]
-                    o_yr = o_y[r : r + 1, :]
-                    o_zr = o_z[r : r + 1, :]
-                    d_xr = d_x[r : r + 1, :]
-                    d_yr = d_y[r : r + 1, :]
-                    d_zr = d_z[r : r + 1, :]
+            @pl.when(take)
+            def _rec():
+                leaf_pl[wnl] = payload
 
-                    # pvec = d x e2  -> [8, 128] outer tiles
-                    pvx = d_yr * e2z - d_zr * e2y
-                    pvy = d_zr * e2x - d_xr * e2z
-                    pvz = d_xr * e2y - d_yr * e2x
-                    det = e1x * pvx + e1y * pvy + e1z * pvz
-                    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-                    tvx = o_xr - v0x
-                    tvy = o_yr - v0y
-                    tvz = o_zr - v0z
-                    uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-                    qvx = tvy * e1z - tvz * e1y
-                    qvy = tvz * e1x - tvx * e1z
-                    qvz = tvx * e1y - tvy * e1x
-                    vv = (d_xr * qvx + d_yr * qvy + d_zr * qvz) * inv_det
-                    tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-                    bt_r = bt[r : r + 1, :]
-                    hitt = (
-                        tri_ok
-                        & (jnp.abs(det) > 1e-12)
-                        & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
-                        & (tt > 0.0) & (tt < bt_r)
-                    )
-                    tt = jnp.where(hitt, tt, jnp.inf)
-                    tmin_r = jnp.min(tt, axis=0, keepdims=True)      # [1, 128]
-                    improved = tmin_r < bt_r
-                    selm = tt == tmin_r
-                    pid_r = jnp.min(jnp.where(selm, pid, INT_BIG), axis=0, keepdims=True)
-                    u_r = jnp.min(jnp.where(selm, uu, jnp.inf), axis=0, keepdims=True)
-                    v_r = jnp.min(jnp.where(selm, vv, jnp.inf), axis=0, keepdims=True)
+            nxt = jnp.where((b == 1) & jnp.logical_not(is_leaf), cur + 1, skip)
+            return nxt, wnl + take.astype(jnp.int32)
 
-                    upd = (row_ids == r) & improved                   # [8, 128]
-                    bt = jnp.where(upd, tmin_r, bt)
-                    bp = jnp.where(upd, pid_r, bp)
-                    bu = jnp.where(upd, u_r, bu)
-                    bv = jnp.where(upd, v_r, bv)
-                return bt, bp, bu, bv
+        node, nl = jax.lax.while_loop(wcond, wbody, (node, nl))
 
-            return jax.lax.fori_loop(0, n_groups, gbody, (bt, bp, bu, bv))
+        # -- 3. flush: sweep the listed leaves, double-buffered DMA ---------
+        flush = (nl >= LFLUSH) | ((node < 0) & (nl > 0))
 
-        bt, bp, bu, bv = jax.lax.cond(
-            any_hit & is_leaf, sweep, lambda a: a, (bt, bp, bu, bv)
-        )
-        nxt = jnp.where(any_hit & jnp.logical_not(is_leaf), node + 1, skip)
-        return nxt, bt, bp, bu, bv
+        @pl.when(flush)
+        def _flush():
+            _leaf_copy(jnp.int32(0), jnp.int32(0)).start()
 
-    node0 = jnp.asarray(0, jnp.int32)
-    _, bt, bp, bu, bv = jax.lax.while_loop(
-        cond, body, (node0, best_t0, best_p0, best_u0, best_v0)
-    )
-    t_out[...] = bt
-    p_out[...] = bp
-    u_out[...] = bu
-    v_out[...] = bv
+            def sweep_i(i, carry):
+                slot = jax.lax.rem(i, 2)
+                _leaf_copy(i, slot).wait()
+
+                @pl.when(i + 1 < nl)
+                def _prefetch():
+                    _leaf_copy(i + 1, jax.lax.rem(i + 1, 2)).start()
+
+                _sweep_leaf(i, slot)
+                return carry
+
+            jax.lax.fori_loop(0, nl, sweep_i, jnp.int32(0))
+
+        nl = jnp.where(flush, 0, nl)
+        return node, nl
+
+    jax.lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)))
 
 
-def _pallas_bvh_sweep(nbox, nmeta, tri16, ox, oy, oz, dx, dy, dz, mt):
+def _pallas_bvh_sweep(nbox, nmeta, tri16, ox, oy, oz, dx, dy, dz, mt, anyhit=False):
     R = ox.shape[0]
     T_pad = tri16.shape[0]
     grid = (R // BLOCK_ROWS,)
@@ -200,16 +281,22 @@ def _pallas_bvh_sweep(nbox, nmeta, tri16, ox, oy, oz, dx, dy, dz, mt):
         pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
         for _ in range(4)
     ]
+    M6 = nbox.shape[0]
     return pl.pallas_call(
-        partial(_kernel, T_pad),
+        partial(_kernel, T_pad, anyhit),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),       # node bbox flat [M*6]
-            pl.BlockSpec(memory_space=pltpu.SMEM),       # node meta flat [M*2] i32
-            pl.BlockSpec(memory_space=pltpu.VMEM),       # tri table [T_pad, 16]
+            pl.BlockSpec((M6,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((M6 // 3,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),        # tri table stays in HBM
             ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
         ],
         out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((2 * WBUF, 128), jnp.float32),
+            pltpu.SMEM((LFLUSH,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         out_shape=[
             jax.ShapeDtypeStruct((R, LANES), jnp.float32),
             jax.ShapeDtypeStruct((R, LANES), jnp.int32),
@@ -220,13 +307,15 @@ def _pallas_bvh_sweep(nbox, nmeta, tri16, ox, oy, oz, dx, dy, dz, mt):
     )(nbox, nmeta, tri16, ox, oy, oz, dx, dy, dz, mt)
 
 
-def _sweep_impl(nbox, nmeta, tri_v0, tri_e1, tri_e2, o, d, maxt):
+def _sweep_impl(nbox, nmeta, tri_v0, tri_e1, tri_e2, o, d, maxt, anyhit=False):
     n = o.shape[0]
     nbox = nbox.reshape(-1)          # flat SMEM layout (see _kernel comment)
     nmeta = nmeta.reshape(-1)
     T = tri_v0.shape[0]
-    T_pad = ((T + 8 + 7) // 8) * 8        # 8 spare rows so chunk reads stay in range
-    tri16 = jnp.zeros((T_pad, 16), jnp.float32)
+    T_pad = ((T + MAX_WIDE_LEAF + 15) // 8) * 8  # spare rows: leaf DMA window stays in bounds
+    # lanes padded 16 -> 128: HBM DMA slices need full-lane rows; attrs live
+    # in lanes 0:16 (8x HBM bloat, but the table never touches VMEM whole)
+    tri16 = jnp.zeros((T_pad, 128), jnp.float32)
     tri16 = tri16.at[:T, 0:3].set(tri_v0)
     tri16 = tri16.at[:T, 3:6].set(tri_e1)
     tri16 = tri16.at[:T, 6:9].set(tri_e2)
@@ -246,7 +335,7 @@ def _sweep_impl(nbox, nmeta, tri_v0, tri_e1, tri_e2, o, d, maxt):
     dz = to_blocks(d[:, 2], 1.0)
     mt = to_blocks(maxt, -1.0)
 
-    t, p, u, v = _pallas_bvh_sweep(nbox, nmeta, tri16, ox, oy, oz, dx, dy, dz, mt)
+    t, p, u, v = _pallas_bvh_sweep(nbox, nmeta, tri16, ox, oy, oz, dx, dy, dz, mt, anyhit)
     t = t.reshape(-1)[:n]
     p = p.reshape(-1)[:n]
     u = u.reshape(-1)[:n]
@@ -298,3 +387,38 @@ def _bwd(res, cts):
 
 
 bvh_sweep_intersect.defvjp(_fwd, _bwd)
+
+
+def ray_sort_key(o, d, bbox_lo, bbox_hi):
+    """u32 coherence sort key: morton(origin, 6 bits/axis) high bits ++
+    morton(direction, 4 bits/axis) low bits.  Shared-origin wavefronts
+    (primary rays) order by direction — image-space tiles; scattered
+    wavefronts (bounces, shadow rays) group spatially first."""
+    ext = jnp.maximum(bbox_hi - bbox_lo, 1e-6)
+    qo = jnp.clip(((o - bbox_lo) / ext * 64.0).astype(jnp.int32), 0, 63)
+    qd = jnp.clip(((d * 0.5 + 0.5) * 16.0).astype(jnp.int32), 0, 15)
+
+    def morton3(v, bits):
+        out = jnp.zeros(v.shape[:-1], jnp.int32)
+        for b in range(bits):
+            out = out | (((v[..., 0] >> b) & 1) << (3 * b + 2))
+            out = out | (((v[..., 1] >> b) & 1) << (3 * b + 1))
+            out = out | (((v[..., 2] >> b) & 1) << (3 * b))
+        return out
+
+    return (morton3(qo, 6) << 12) | morton3(qd, 4)
+
+
+def bvh_sweep_occluded(nbox, nmeta, tri_v0, tri_e1, tri_e2, o, d, maxt):
+    """Any-hit occlusion query over the wide-leaf BVH (shadow rays;
+    reference: Scene::ray_test / scene_optix.inl any-hit programs).
+    Returns occluded [N] bool.  Non-differentiable by construction (the
+    visibility indicator's a.e.-zero derivative is dropped, as in the
+    reference's ray_test)."""
+    t, p, u, v = _sweep_impl(
+        jax.lax.stop_gradient(nbox), jax.lax.stop_gradient(nmeta),
+        jax.lax.stop_gradient(tri_v0), jax.lax.stop_gradient(tri_e1),
+        jax.lax.stop_gradient(tri_e2), jax.lax.stop_gradient(o),
+        jax.lax.stop_gradient(d), jax.lax.stop_gradient(maxt), anyhit=True,
+    )
+    return p >= 0

@@ -313,15 +313,24 @@ def ray_intersect_preliminary(geom: Geometry, ray: Ray, active=None):
         maxt = jnp.where(active, ray.maxt, -jnp.inf)
         if jax.default_backend() != "cpu":
             # Pallas block-traversal kernel: SMEM node table + 8-tri x
-            # 128-ray VPU sweep tiles (ops/bvh_sweep.py)
-            from ..ops.bvh_sweep import bvh_sweep_intersect
+            # 128-ray VPU sweep tiles (ops/bvh_sweep.py).  Rays are sorted by
+            # (origin-morton, direction-morton) first so each 1024-ray block
+            # covers a compact spatial tile — the block-shared traversal's
+            # node-union footprint drops ~7x (measured on a 200k-tri mesh)
+            from ..ops.bvh_sweep import bvh_sweep_intersect, ray_sort_key
 
+            key = ray_sort_key(ray.o, ray.d, geom.bvh_lo[0], geom.bvh_hi[0])
+            order = jnp.argsort(key)
+            inv = jnp.zeros_like(order).at[order].set(
+                jnp.arange(order.shape[0], dtype=order.dtype)
+            )
             nbox = jnp.concatenate([geom.bvh_lo, geom.bvh_hi], axis=-1)
             nmeta = jnp.stack([geom.bvh_skip, geom.bvh_payload], axis=-1)
             t_b, p_b, u_b, v_b = bvh_sweep_intersect(
                 nbox, nmeta, geom.tri_v0, geom.tri_e1, geom.tri_e2,
-                ray.o, ray.d, maxt,
+                ray.o[order], ray.d[order], maxt[order],
             )
+            t_b, p_b, u_b, v_b = t_b[inv], p_b[inv], u_b[inv], v_b[inv]
         else:
             from .bvh import bvh_intersect_ad
 
@@ -402,7 +411,35 @@ def _sphere_pass(geom: Geometry, ray: Ray, best_t, best_prim, best_uv):
 
 
 def ray_test(geom: Geometry, ray: Ray, active=None):
-    """Shadow/occlusion query (reference: Scene::ray_test)."""
+    """Shadow/occlusion query (reference: Scene::ray_test).  On the TPU
+    big-mesh path this uses the dedicated any-hit kernel (first hit
+    terminates the ray's traversal) instead of a full closest-hit pass."""
+    N = ray.o.shape[0]
+    if active is None:
+        active = jnp.ones((N,), bool)
+    if geom.has_bvh and jax.default_backend() != "cpu":
+        from ..ops.bvh_sweep import bvh_sweep_occluded, ray_sort_key
+
+        maxt = jnp.where(active, ray.maxt, -jnp.inf)
+        key = ray_sort_key(ray.o, ray.d, geom.bvh_lo[0], geom.bvh_hi[0])
+        order = jnp.argsort(key)
+        inv = jnp.zeros_like(order).at[order].set(
+            jnp.arange(order.shape[0], dtype=order.dtype)
+        )
+        nbox = jnp.concatenate([geom.bvh_lo, geom.bvh_hi], axis=-1)
+        nmeta = jnp.stack([geom.bvh_skip, geom.bvh_payload], axis=-1)
+        occ = bvh_sweep_occluded(
+            nbox, nmeta, geom.tri_v0, geom.tri_e1, geom.tri_e2,
+            ray.o[order], ray.d[order], maxt[order],
+        )[inv]
+        if geom.n_spheres > 0:
+            zero_t = jnp.where(active, ray.maxt, -jnp.inf)
+            pi_s = _sphere_pass(
+                geom, ray, zero_t, jnp.full((N,), -1, jnp.int32),
+                jnp.zeros((N, 2), jnp.float32),
+            )
+            occ = occ | pi_s.is_valid
+        return occ & active
     pi = ray_intersect_preliminary(geom, ray, active)
     return pi.is_valid
 

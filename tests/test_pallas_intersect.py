@@ -110,3 +110,33 @@ def test_bvh_sweep_matches_xla_traversal():
     hit = np.asarray(p_x) >= 0
     np.testing.assert_allclose(np.asarray(u_x)[hit], np.asarray(u_s)[hit], rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(v_x)[hit], np.asarray(v_s)[hit], rtol=1e-5, atol=1e-6)
+
+
+def test_bvh_sweep_occlusion():
+    """Any-hit kernel agrees with closest-hit validity (interpret mode)."""
+    from mitsuba_tpu import native as native_mod
+    from mitsuba_tpu.ops.bvh_sweep import (
+        bvh_sweep_intersect, bvh_sweep_occluded, MAX_WIDE_LEAF,
+    )
+
+    v0, e1, e2 = _random_tri_soup(2000, seed=5)
+    tris9 = np.concatenate([v0, e1, e2], axis=-1)
+    nodes, order = native_mod.build_bvh_wide(tris9, max_leaf=MAX_WIDE_LEAF)
+    v0, e1, e2 = v0[order], e1[order], e2[order]
+
+    rng = np.random.default_rng(13)
+    N = 512
+    o = rng.uniform(-15, 15, (N, 3)).astype(np.float32)
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    maxt = np.full((N,), np.inf, np.float32)
+
+    nbox = jnp.asarray(np.concatenate([nodes[:, 0:3], nodes[:, 3:6]], -1))
+    nmeta = jnp.asarray(
+        np.stack([nodes[:, 6].view(np.int32), nodes[:, 7].view(np.int32)], -1)
+    )
+    args = (nbox, nmeta, jnp.asarray(v0), jnp.asarray(e1), jnp.asarray(e2),
+            jnp.asarray(o), jnp.asarray(d), jnp.asarray(maxt))
+    _, p, _, _ = bvh_sweep_intersect(*args)
+    occ = bvh_sweep_occluded(*args)
+    assert np.array_equal(np.asarray(occ), np.asarray(p) >= 0)
