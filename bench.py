@@ -7,8 +7,11 @@ Headline metric: Mrays/s for a FULL differentiable iteration — forward render
 fwd+bwd per-chip throughput target).  Ray counts: closest-hit + shadow rays of
 the forward pass, plus the replay pass's rays (the PRB backward re-traces the
 same paths; reference: prb.py both passes stream rays).  detail{} carries the
-forward-only number as well.  vs_baseline is computed against a nominal
-10 Mrays/s for the reference's LLVM CPU backend on this scene class.
+forward-only number as well.  vs_baseline is computed against the round-1
+recorded TPU number (BENCH_r01.json: 101.97 Mrays/s) so the trend across
+rounds is tracked against a MEASURED point — the reference publishes no
+benchmark numbers at all (BASELINE.md).  detail{} also carries a >=100k-tri
+mesh-scene config (BVH sweep-kernel path; VERDICT r1 item 2).
 """
 import json
 import time
@@ -16,7 +19,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-BASELINE_MRAYS = 10.0
+BASELINE_MRAYS = 101.97   # round-1 measured fwd+bwd (BENCH_r01.json)
 
 
 def main():
@@ -75,6 +78,29 @@ def main():
     ad_rays = 2.0 * fwd_rays
     ad_mrays = ad_rays / best_ad / 1e6
 
+    # ---- big-mesh forward config (Pallas BVH path) ----
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "scripts"))
+    mesh_mrays = None
+    try:
+        from bench_mesh import mesh_scene
+        scene_m, mesh_tris = mesh_scene(k=130, res=256)
+        spp_m = 16
+        def run_m(seed):
+            L, _, _, aux = _render_pass(scene_m, jnp.uint32(seed), 0, spp_m, spp_m, 0)
+            return L.sum(), aux["n_rays"]
+        s0, nr = run_m(0); jax.block_until_ready(s0)
+        best_m = None
+        for i in range(3):
+            t0 = time.perf_counter()
+            s0, nr = run_m(i + 1); jax.block_until_ready(s0)
+            dt = time.perf_counter() - t0
+            best_m = dt if best_m is None else min(best_m, dt)
+        mesh_mrays = round(float(nr) / best_m / 1e6, 2)
+    except Exception as e:
+        mesh_tris = 0
+        mesh_err = str(e)[:200]
+
     print(
         json.dumps(
             {
@@ -90,6 +116,8 @@ def main():
                     "rays_fwd": int(fwd_rays),
                     "lanes": n_lanes,
                     "grad_param": key,
+                    "mesh_fwd_mrays": mesh_mrays,
+                    "mesh_tris": int(mesh_tris),
                 },
             }
         )
