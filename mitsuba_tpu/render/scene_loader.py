@@ -25,7 +25,7 @@ BSDF_TYPES = {
     "diffuse", "dielectric", "thindielectric", "conductor", "roughconductor",
     "roughdielectric", "roughplastic", "plastic", "twosided", "null", "mask",
     "blendbsdf", "polarizer", "retarder", "circular", "pplastic", "normalmap", "bumpmap",
-    "principled", "principled_thin",
+    "principled", "principled_thin", "measured",
 }
 SHAPE_TYPES = {
     "rectangle", "cube", "sphere", "obj", "ply", "disk", "serialized", "cylinder",
@@ -303,6 +303,10 @@ def parse_bsdf(spec, name, paths):
             nonlinear=bool(spec.get("nonlinear", False)),
             specular_sampling_weight=s_mean / max(d_mean + s_mean, 1e-8),
         )
+    if t == "measured":
+        from .bsdf_measured import MeasuredBSDF
+
+        return MeasuredBSDF.from_file(spec["filename"])
     if t == "principled":
         # reference: src/bsdfs/principled.cpp:189-237 (param parsing + the
         # specular<->eta one-to-one map)
