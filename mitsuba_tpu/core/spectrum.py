@@ -10,14 +10,24 @@ Wavelength range mirrors the reference: MI_CIE_MIN=360nm, MI_CIE_MAX=830nm
 reparameterized-tan pdf as the reference's sample_rgb_spectrum
 (reference: spectrum.h:446 sample_rgb_spectrum / pdf_rgb_spectrum).
 
-CIE 1931 color matching functions use the multi-lobe Gaussian fit of
-Wyman, Sloan & Shirley 2013 ("Simple Analytic Approximations to the CIE XYZ
-Color Matching Functions") instead of the reference's 95-entry tables — max
-error < 1% of peak, and analytic = fully fused on the VPU.
+CIE 1931 color matching functions and the D65 illuminant use the standard
+95-entry tables at 5nm spacing (the same public colorimetric data as
+spectrum.cpp:158 / spectrum.h:138), linearly interpolated.  RGB->spectrum
+upsampling uses the Jakob & Hanika 2019 sigmoid-polynomial coefficient
+table in data/srgb64.coeff, generated offline with the reference's
+ext/rgb2spec/rgb2spec_opt.cpp optimizer (sRGB gamut, resolution 64).
 """
 from __future__ import annotations
 
+import os
+
+import numpy as np
 import jax.numpy as jnp
+
+_DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "data")
+_CIE_TBL = jnp.asarray(np.load(os.path.join(_DATA_DIR, "cie1931.npy")))   # [3, 95]
+_D65_TBL_NP = np.load(os.path.join(_DATA_DIR, "d65.npy"))                 # [95]
+_D65_TBL = jnp.asarray(_D65_TBL_NP / np.interp(560.0, np.arange(360, 831, 5), _D65_TBL_NP))
 
 CIE_MIN = 360.0
 CIE_MAX = 830.0
@@ -26,25 +36,25 @@ CIE_MAX = 830.0
 CIE_Y_INTEGRAL = 106.7502593994140625
 
 
-def _gauss(x, alpha, mu, s1, s2):
-    t = (x - mu) * jnp.where(x < mu, 1.0 / s1, 1.0 / s2)
-    return alpha * jnp.exp(-0.5 * t * t)
+def _cie_interp(tbl, wl):
+    """Linear interpolation of a [.., 95] table over [360, 830] at 5nm; zero
+    outside the range (reference: cie1931_xyz, spectrum.h:210-260)."""
+    t = (wl - CIE_MIN) / 5.0
+    i = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, 93)
+    f = jnp.clip(t - i, 0.0, 1.0)
+    v = tbl[..., i] * (1.0 - f) + tbl[..., i + 1] * f
+    inside = (wl >= CIE_MIN) & (wl <= CIE_MAX)
+    return jnp.where(inside, v, 0.0)
 
 
 def cie1931_xyz(wl):
-    """CIE 1931 x̄,ȳ,z̄ at wavelength wl [nm] -> [..., 3] (Wyman et al. fit)."""
-    x = (
-        _gauss(wl, 0.362, 442.0, 16.0, 26.7)
-        + _gauss(wl, 1.056, 599.8, 37.9, 31.0)
-        + _gauss(wl, -0.065, 501.1, 20.4, 26.2)
-    )
-    y = _gauss(wl, 0.821, 568.8, 46.9, 40.5) + _gauss(wl, 0.286, 530.9, 16.3, 31.1)
-    z = _gauss(wl, 1.217, 437.0, 11.8, 36.0) + _gauss(wl, 0.681, 459.0, 26.0, 13.8)
-    return jnp.stack([x, y, z], axis=-1)
+    """CIE 1931 x̄,ȳ,z̄ at wavelength wl [nm] -> [..., 3] (tabulated standard
+    observer, 5nm steps; reference: spectrum.cpp:158 cie1931_tbl)."""
+    return jnp.moveaxis(_cie_interp(_CIE_TBL, wl), 0, -1)
 
 
 def cie1931_y(wl):
-    return _gauss(wl, 0.821, 568.8, 46.9, 40.5) + _gauss(wl, 0.286, 530.9, 16.3, 31.1)
+    return _cie_interp(_CIE_TBL[1], wl)
 
 
 # sRGB (D65) <-> XYZ matrices (reference: include/mitsuba/core/transform.h srgb)
@@ -121,36 +131,101 @@ def sample_wavelengths_hero(u, n=4, lo=CIE_MIN, hi=CIE_MAX):
 def srgb_model_eval(coeff, wl):
     """Evaluate the Jakob-Hanika 2019 sigmoid-polynomial reflectance model
     (reference: include/mitsuba/render/srgb.h srgb_model_eval):
-    f(wl) = sigmoid(c0*wl^2 + c1*wl + c2)."""
-    v = (coeff[..., 0:1] * wl + coeff[..., 1:2]) * wl + coeff[..., 2:3]
-    v = jnp.squeeze(v, axis=-1) if v.shape[-1] == 1 and wl.ndim == coeff.ndim - 1 else v
-    return 0.5 + 0.5 * v / jnp.sqrt(1.0 + v * v)
+    f(wl) = sigmoid(c0*wl^2 + c1*wl + c2), with c2 = +-inf encoding the
+    monochromatic 0/1 extremes."""
+    v = (coeff[..., 0] * wl + coeff[..., 1]) * wl + coeff[..., 2]
+    out = jnp.maximum(0.0, 0.5 + 0.5 * v / jnp.sqrt(1.0 + v * v))
+    lim = jnp.where(jnp.sign(v) > 0, 1.0, 0.0)
+    return jnp.where(jnp.isinf(v), lim, out)
+
+
+_RGB2SPEC = None
+
+
+def _rgb2spec_tables():
+    """Lazy-load the sRGB coefficient table (data/srgb64.coeff, generated
+    with the reference's ext/rgb2spec/rgb2spec_opt.cpp: './rgb2spec_opt 64
+    srgb64.coeff sRGB')."""
+    global _RGB2SPEC
+    if _RGB2SPEC is None:
+        fn = os.path.join(_DATA_DIR, "srgb64.coeff")
+        with open(fn, "rb") as f:
+            buf = f.read()
+        assert buf[:4] == b"SPEC"
+        res = int(np.frombuffer(buf, np.uint32, 1, 4)[0])
+        scale = np.frombuffer(buf, np.float32, res, 8)
+        data = np.frombuffer(buf, np.float32, 3 * res**3 * 3, 8 + 4 * res)
+        _RGB2SPEC = (
+            jnp.asarray(scale),
+            jnp.asarray(data.reshape(3, res, res, res, 3)),
+            res,
+        )
+    return _RGB2SPEC
+
+
+def srgb_to_spectral_coeff(rgb):
+    """RGB -> sigmoid-polynomial coefficients via trilinear table fetch
+    (reference: ext/rgb2spec/rgb2spec.c rgb2spec_fetch).  rgb: [..., 3];
+    returns [..., 3] coefficients for srgb_model_eval."""
+    scale, data, res = _rgb2spec_tables()
+    rgb = jnp.clip(rgb, 0.0, 1.0)
+    i = jnp.argmax(rgb, axis=-1)
+    z = jnp.take_along_axis(rgb, i[..., None], axis=-1)[..., 0]
+    zs = jnp.maximum(z, 1e-10)
+    sc = (res - 1) / zs
+    x = jnp.take_along_axis(rgb, ((i + 1) % 3)[..., None], axis=-1)[..., 0] * sc
+    y = jnp.take_along_axis(rgb, ((i + 2) % 3)[..., None], axis=-1)[..., 0] * sc
+    xi = jnp.clip(x.astype(jnp.int32), 0, res - 2)
+    yi = jnp.clip(y.astype(jnp.int32), 0, res - 2)
+    zi = jnp.clip(jnp.searchsorted(scale, z, side="right") - 1, 0, res - 2)
+    x1 = x - xi
+    y1 = y - yi
+    z1 = (z - scale[zi]) / jnp.maximum(scale[zi + 1] - scale[zi], 1e-20)
+
+    flat = data.reshape(-1, 3)
+    base = ((i * res + zi) * res + yi) * res + xi
+
+    def corner(dz, dy, dx):
+        idx = base + (dz * res + dy) * res + dx
+        return flat[idx]
+
+    w = lambda a, b: jnp.where(b, a, 1.0 - a)[..., None]
+    out = 0.0
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                out = out + corner(dz, dy, dx) * (
+                    w(z1, dz) * w(y1, dy) * w(x1, dx)
+                )
+
+    # monochromatic case, solved analytically (rgb2spec.c:84-98)
+    mono = (rgb[..., 0] == rgb[..., 1]) & (rgb[..., 1] == rgb[..., 2])
+    v = rgb[..., 0]
+    r = jnp.where(
+        v <= 0.0,
+        -jnp.inf,
+        jnp.where(
+            v >= 1.0,
+            jnp.inf,
+            (v - 0.5) / jnp.sqrt(jnp.maximum(v * (1.0 - v), 1e-20)),
+        ),
+    )
+    mono_c = jnp.stack([jnp.zeros_like(r), jnp.zeros_like(r), r], axis=-1)
+    return jnp.where(mono[..., None], mono_c, out)
 
 
 def srgb_to_spectral_coeff_approx(rgb):
-    """Cheap stand-in for the rgb2spec coefficient tables: represent an RGB
-    reflectance by smooth basis functions.  We use the three-Gaussian basis
-    below in `rgb_reflectance_eval`; this function exists for API parity and
-    returns rgb unchanged as the 'coefficients'."""
-    return rgb
-
-
-_RGB_BASE_MU = jnp.asarray([602.0, 540.0, 455.0], jnp.float32)
-_RGB_BASE_SIG = jnp.asarray([40.0, 35.0, 28.0], jnp.float32)
+    """Backwards-compatible alias (the coefficients are now exact rgb2spec
+    table fetches, not an approximation)."""
+    return srgb_to_spectral_coeff(rgb)
 
 
 def rgb_reflectance_eval(rgb, wl):
-    """Smooth spectral reflectance whose sRGB projection approximates `rgb`.
-
-    A simple smooth-basis alternative to the reference's rgb2spec tables
-    (src/core/spectrum.cpp srgb upsampling): r(wl) = sum_i c_i B_i(wl) with
-    normalized Gaussian bases peaking at R/G/B primaries.  Exact round-trip is
-    not guaranteed (tables can replace this later); whites map to flat spectra.
-    """
-    wl = jnp.asarray(wl)
-    b = jnp.exp(-0.5 * ((wl[..., None] - _RGB_BASE_MU) / _RGB_BASE_SIG) ** 2)
-    b = b / jnp.maximum(jnp.sum(b, axis=-1, keepdims=True), 1e-6)
-    return jnp.clip(jnp.sum(rgb * b, axis=-1), 0.0, 1.0)
+    """Spectral reflectance whose sRGB projection reproduces `rgb` under D65
+    (the reference's round-trip property; spectrum.h:446, srgb.h).
+    rgb: [..., 3] broadcastable against wl [...]."""
+    coeff = srgb_to_spectral_coeff(rgb)
+    return srgb_model_eval(coeff, jnp.asarray(wl))
 
 
 # ---------------------------------------------------------------------------
@@ -167,12 +242,39 @@ def blackbody_radiance(wl_nm, temperature):
     return p * 1e-9  # per nm
 
 
-def d65_approx(wl):
-    """Approximate D65 illuminant: blackbody at 6504K normalized to 1 at 560nm
-    (stand-in for the reference's tabulated D65, src/spectra/d65.cpp)."""
-    return blackbody_radiance(wl, 6504.0) / blackbody_radiance(
-        jnp.asarray(560.0, jnp.float32), 6504.0
+# D65 scaled so that integrating L(wl)*ybar(wl)/CIE_Y_INTEGRAL gives Y = 1:
+# an rgb (1,1,1) emitter then has unit luminance (reference: d65.cpp
+# MI_CIE_D65_NORMALIZATION)
+_D65_Y = float(
+    np.trapezoid(
+        np.asarray(_D65_TBL) * np.load(os.path.join(_DATA_DIR, "cie1931.npy"))[1],
+        dx=5.0,
     )
+    / CIE_Y_INTEGRAL
+)
+
+
+def rgb_emission_eval(rgb, wl):
+    """Emissive rgb -> spectral radiance: normalize so the largest component
+    is 0.5, upsample, multiply by the D65 illuminant and the scale back
+    (reference: d65.cpp:95-108 + xml.cpp create_texture_from_rgb within
+    emitters).  rgb: [..., 3] broadcastable against wl [...]."""
+    factor = jnp.max(rgb, axis=-1, keepdims=True) * 2.0
+    norm = rgb / jnp.maximum(factor, 1e-20)
+    model = rgb_reflectance_eval(jnp.where(factor > 0, norm, 0.0), wl)
+    d65 = d65_eval(jnp.asarray(wl)) / _D65_Y
+    f = factor[..., 0] if factor.shape[-1] == 1 and model.ndim == factor.ndim - 1 else factor
+    return model * d65 * f
+
+
+def d65_eval(wl):
+    """CIE standard illuminant D65 (tabulated, 5nm; reference:
+    spectrum.h:138 d65_table), normalized to 1 at 560nm."""
+    return _cie_interp(_D65_TBL, wl)
+
+
+# backwards-compatible alias (now the tabulated standard illuminant)
+d65_approx = d65_eval
 
 
 def spectrum_to_xyz(values, wavelengths, pdf):

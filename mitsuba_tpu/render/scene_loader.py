@@ -25,7 +25,7 @@ BSDF_TYPES = {
     "diffuse", "dielectric", "thindielectric", "conductor", "roughconductor",
     "roughdielectric", "roughplastic", "plastic", "twosided", "null", "mask",
     "blendbsdf", "polarizer", "retarder", "circular", "pplastic", "normalmap", "bumpmap",
-    "principled", "principled_thin", "measured",
+    "principled", "principled_thin", "measured", "hair",
 }
 SHAPE_TYPES = {
     "rectangle", "cube", "sphere", "obj", "ply", "disk", "serialized", "cylinder",
@@ -52,7 +52,7 @@ INTEGRATOR_TYPES = {
 # Textures / spectra
 # ---------------------------------------------------------------------------
 
-def parse_texture(spec, default=1.0, paths=None, prefix=None):
+def parse_texture(spec, default=1.0, paths=None, prefix=None, emissive=False):
     """Parse a texture/spectrum spec (float | rgb dict | plugin dict).
     Returns (texture, name-of-differentiable-leaf)."""
     if spec is None:
@@ -61,11 +61,18 @@ def parse_texture(spec, default=1.0, paths=None, prefix=None):
         tex = TX.ConstantTexture(value=jnp.asarray([float(spec)], jnp.float32))
         return tex, "value"
     if isinstance(spec, (list, tuple, np.ndarray)):
-        tex = TX.ConstantTexture(value=jnp.asarray(spec, jnp.float32))
+        tex = TX.ConstantTexture(
+            value=jnp.asarray(spec, jnp.float32), emissive=emissive
+        )
         return tex, "value"
     t = spec["type"]
     if t in ("rgb", "srgb"):
-        return TX.ConstantTexture(value=jnp.asarray(spec["value"], jnp.float32)), "value"
+        return (
+            TX.ConstantTexture(
+                value=jnp.asarray(spec["value"], jnp.float32), emissive=emissive
+            ),
+            "value",
+        )
     if t == "uniform":
         return TX.ConstantTexture(value=jnp.asarray([spec.get("value", 1.0)], jnp.float32)), "value"
     if t == "checkerboard":
@@ -302,6 +309,31 @@ def parse_bsdf(spec, name, paths):
             diffuse_reflectance=dr, specular_reflectance=sr,
             nonlinear=bool(spec.get("nonlinear", False)),
             specular_sampling_weight=s_mean / max(d_mean + s_mean, 1e-8),
+        )
+    if t == "hair":
+        from .bsdf_hair import HairBSDF
+
+        sigma_a = None
+        if "sigma_a" in spec:
+            sigma_a, leaf = parse_texture(spec["sigma_a"])
+            paths.append((f"{name}.sigma_a.{leaf}", ("sigma_a", leaf)))
+        int_ior = _ior(spec.get("int_ior"), 1.55)      # amber
+        ext_ior = _ior(spec.get("ext_ior"), 1.000277)
+        paths.append((f"{name}.eumelanin", ("eumelanin",)))
+        paths.append((f"{name}.pheomelanin", ("pheomelanin",)))
+        return HairBSDF(
+            longitudinal_roughness=jnp.asarray(
+                float(spec.get("longitudinal_roughness", 0.3)), jnp.float32
+            ),
+            azimuthal_roughness=jnp.asarray(
+                float(spec.get("azimuthal_roughness", 0.3)), jnp.float32
+            ),
+            alpha=jnp.asarray(float(spec.get("scale_tilt", 2.0)), jnp.float32),
+            eta=jnp.asarray(int_ior / ext_ior, jnp.float32),
+            eumelanin=jnp.asarray(float(spec.get("eumelanin", 1.3)), jnp.float32),
+            pheomelanin=jnp.asarray(float(spec.get("pheomelanin", 0.2)), jnp.float32),
+            sigma_a=sigma_a,
+            scale=jnp.asarray(float(spec.get("scale", 1.0)), jnp.float32),
         )
     if t == "measured":
         from .bsdf_measured import MeasuredBSDF
@@ -688,7 +720,7 @@ def load_dict(d):
     tri_e1_np = np.asarray(geometry.tri_e1)
     tri_e2_np = np.asarray(geometry.tri_e2)
     for shape_index, em_spec, shape_name in shape_emitter_specs:
-        tex, leaf = parse_texture(em_spec.get("radiance", 1.0))
+        tex, leaf = parse_texture(em_spec.get("radiance", 1.0), emissive=True)
         tri_idx = np.nonzero(tri_shape_np == shape_index)[0].astype(np.int32)
         areas = 0.5 * np.linalg.norm(
             np.cross(tri_e1_np[tri_idx], tri_e2_np[tri_idx]), axis=-1
@@ -716,7 +748,7 @@ def load_dict(d):
         t = spec["type"]
         e_idx = len(emitters)
         if t == "constant":
-            tex, leaf = parse_texture(spec.get("radiance", 1.0))
+            tex, leaf = parse_texture(spec.get("radiance", 1.0), emissive=True)
             emitters.append(
                 E.ConstantEmitter(radiance=tex, scene_radius=jnp.asarray(radius, jnp.float32))
             )
@@ -740,7 +772,7 @@ def load_dict(d):
             env_emitter = e_idx
             param_paths.append((f"{name}.data", ("emitters", e_idx, "data")))
         elif t == "point":
-            tex, leaf = parse_texture(spec.get("intensity", 1.0))
+            tex, leaf = parse_texture(spec.get("intensity", 1.0), emissive=True)
             pos = spec.get("position", [0, 0, 0])
             if "to_world" in spec:
                 m = np.asarray(build_transform(spec["to_world"]).m)
@@ -750,7 +782,7 @@ def load_dict(d):
             )
             param_paths.append((f"{name}.intensity.{leaf}", ("emitters", e_idx, "intensity", leaf)))
         elif t == "directional":
-            tex, leaf = parse_texture(spec.get("irradiance", 1.0))
+            tex, leaf = parse_texture(spec.get("irradiance", 1.0), emissive=True)
             dirn = np.asarray(spec.get("direction", [0, 0, -1]), np.float32)
             emitters.append(
                 E.DirectionalEmitter(
@@ -761,7 +793,7 @@ def load_dict(d):
             )
             param_paths.append((f"{name}.irradiance.{leaf}", ("emitters", e_idx, "irradiance", leaf)))
         elif t == "projector":
-            tex, leaf = parse_texture(spec.get("irradiance", 1.0))
+            tex, leaf = parse_texture(spec.get("irradiance", 1.0), emissive=True)
             m = np.asarray(build_transform(spec.get("to_world", Transform.identity())).m)
             fov = float(spec.get("fov", 45.0))
             emitters.append(
@@ -776,7 +808,7 @@ def load_dict(d):
             )
             param_paths.append((f"{name}.irradiance.{leaf}", ("emitters", e_idx, "irradiance", leaf)))
         elif t == "spot":
-            tex, leaf = parse_texture(spec.get("intensity", 1.0))
+            tex, leaf = parse_texture(spec.get("intensity", 1.0), emissive=True)
             m = np.asarray(build_transform(spec.get("to_world", Transform.identity())).m)
             cutoff = np.deg2rad(float(spec.get("cutoff_angle", 20.0)))
             beam = np.deg2rad(float(spec.get("beam_width", cutoff * 0.75)))

@@ -30,17 +30,23 @@ def _to_channels(rgb_value, n_channels, wavelengths=None, is_emission=False):
     # spectral: wavelengths [N, 4]
     if v.shape[-1] == 1:
         return jnp.broadcast_to(v, v.shape[:-1] + (wavelengths.shape[-1],))
+    if is_emission:
+        # emissive rgb: unbounded D65-based upsampling (d65.cpp:95-108)
+        return spec.rgb_emission_eval(v[..., None, :], wavelengths)
     return spec.rgb_reflectance_eval(v[..., None, :], wavelengths)
 
 
 @struct.dataclass
 class ConstantTexture:
-    """Uniform value (reference: src/spectra/uniform.cpp, srgb.cpp)."""
+    """Uniform value (reference: src/spectra/uniform.cpp, srgb.cpp).
+    `emissive` selects the unbounded D65 spectral upsampling used for
+    radiance quantities (reference: xml.cpp within_emitter)."""
 
     value: jnp.ndarray   # [3] rgb or [1] scalar
+    emissive: bool = struct.field(pytree_node=False, default=False)
 
     def eval(self, uv, wavelengths, n_channels):
-        out = _to_channels(self.value, n_channels, wavelengths)
+        out = _to_channels(self.value, n_channels, wavelengths, self.emissive)
         n = uv.shape[0]
         return jnp.broadcast_to(out, (n, n_channels))
 
@@ -76,6 +82,7 @@ class BitmapTexture:
     data is [H, W, 3] (or [H, W, 1]); stored in HBM, gathered per lane."""
 
     data: jnp.ndarray
+    emissive: bool = struct.field(pytree_node=False, default=False)
 
     def eval(self, uv, wavelengths, n_channels):
         h, w = self.data.shape[0], self.data.shape[1]
