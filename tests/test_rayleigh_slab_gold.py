@@ -1,0 +1,105 @@
+"""Hardware-independent gold: polarized single scattering in a Rayleigh slab.
+
+The single-scattering solution of a plane-parallel Rayleigh atmosphere is
+analytic (the k=1 term of the Coulson-Dave-Sekera expansion): for a zenith
+sun over a slab of vertical optical depth tau and a viewer looking up at
+mu = cos(theta_v),
+
+    L(mu)  = E sigma_s p(Theta) e^-tau (e^{tau (mu-1)/mu} - 1) / (sigma (mu-1))
+    cos(Theta) = mu,   p = (3/16pi)(1 + cos^2 Theta)
+    DoLP   = sin^2(Theta) / (1 + cos^2 Theta),  perpendicular to the
+             scattering (meridian) plane; U = V = 0 by symmetry.
+
+This validates the full polarized volumetric chain end-to-end: directional
+emitter NEE through the medium, Rayleigh Mueller scattering, meridian
+rotations, and the sensor Stokes basis (reference acceptance analog of the
+CDS tables, which are not retrievable offline)."""
+import numpy as np
+import pytest
+
+import mitsuba_tpu as mi
+
+
+def _scene(tau, theta_deg, max_depth=2, spp=16):
+    st = np.sin(np.radians(theta_deg))
+    ct = np.cos(np.radians(theta_deg))
+    return {
+        "type": "scene",
+        "integrator": {"type": "volpath", "max_depth": max_depth},
+        "sun": {
+            "type": "directional",
+            "direction": [0, 0, -1],
+            "irradiance": 1.0,
+        },
+        "slab": {
+            "type": "cube",
+            "to_world": [{"type": "scale", "value": [2000.0, 2000.0, 0.5]}],
+            "bsdf": {"type": "null"},
+            "interior": {
+                "type": "homogeneous",
+                "sigma_t": tau,
+                "albedo": 1.0,
+                "phase": {"type": "rayleigh", "depolarization": 0.0},
+            },
+        },
+        "sensor": {
+            "type": "radiancemeter",
+            "wavelength": 550.0,
+            "to_world": [
+                {
+                    "type": "look_at",
+                    "origin": [0.0, 0.0, -2.0],
+                    "target": [2.0 * st, 0.0, -2.0 + 2.0 * ct],
+                    "up": [0, 1, 0],
+                }
+            ],
+            "film": {
+                "type": "hdrfilm", "width": 4, "height": 4,
+                "rfilter": {"type": "box"},
+            },
+            "sampler": {"type": "independent", "sample_count": spp},
+        },
+    }
+
+
+def _analytic(tau, theta_deg):
+    mu = np.cos(np.radians(theta_deg))
+    p = 3.0 / (16.0 * np.pi) * (1.0 + mu * mu)
+    integ = np.exp(-tau) * (np.exp(tau * (mu - 1.0) / mu) - 1.0) / (tau * (mu - 1.0))
+    L = tau * p * integ          # sigma_s = tau (albedo 1, unit thickness)
+    dolp = (1.0 - mu * mu) / (1.0 + mu * mu)
+    return L, dolp
+
+
+@pytest.mark.parametrize("tau,theta", [(0.25, 60.0), (0.5, 40.0), (0.1, 75.0)])
+def test_single_scatter_stokes(tau, theta):
+    mi.set_variant("mono_polarized")
+    scene = mi.load_dict(_scene(tau, theta))
+    spec = np.asarray(mi.render_1(scene, spp=16384, seed=1))
+    mi.set_variant("rgb")
+    assert spec.shape[0] == 4
+    I, Q, U, V = [float(s) for s in spec.mean(axis=-1)]
+    L_ref, dolp_ref = _analytic(tau, theta)
+    assert abs(I - L_ref) / L_ref < 0.03, (I, L_ref)
+    assert abs(abs(Q) / I - dolp_ref) < 0.02, (Q / I, dolp_ref)
+    assert abs(U) / I < 0.02 and abs(V) / I < 0.01
+    # single-scattered skylight is polarized PERPENDICULAR to the meridian
+    # plane; the sensor's Stokes x-basis cross(fwd, cross(fwd, z)) lies IN
+    # the meridian plane (render_api.sensor_stokes_rotation), so Q < 0
+    assert Q < 0, Q
+
+
+def test_multiple_scattering_exceeds_single():
+    """Sanity: adding scattering orders raises I and lowers DoLP."""
+    mi.set_variant("mono_polarized")
+    s1 = np.asarray(
+        mi.render_1(mi.load_dict(_scene(0.5, 50.0, max_depth=2)), spp=8192, seed=2)
+    ).mean(axis=-1)
+    s8 = np.asarray(
+        mi.render_1(mi.load_dict(_scene(0.5, 50.0, max_depth=16)), spp=8192, seed=2)
+    ).mean(axis=-1)
+    mi.set_variant("rgb")
+    assert s8[0] > s1[0] * 1.05
+    dolp1 = abs(s1[1]) / s1[0]
+    dolp8 = abs(s8[1]) / s8[0]
+    assert dolp8 < dolp1
