@@ -10,6 +10,15 @@ Here we use a pure counter-based design instead of stateful streams: every
 random draw is threefry2x32(key=(seed, SALT), counter=(lane, dim)).  This is
 stateless, order-independent, vectorizes perfectly on the VPU, and makes PRB
 replay trivial (recompute the same (lane, dim) pairs in the backward kernel).
+
+Low-discrepancy mode (reference: src/samplers/{ldsampler,orthogonal}.cpp and
+the pbrt padded-Sobol design): when the RNG carries (pixel, sample-index)
+identity, every dimension PAIR draws the (0,2)-sequence point of the lane's
+sample index, Owen-scrambled per (pixel, pair) with the Laine-Karras hash.
+Path dimensions are then stratified over the samples of each pixel — the full
+variance reduction the reference samplers deliver — while staying stateless
+and replay/partition invariant (the draw is a pure function of
+(seed, pixel, sample, dim)).
 """
 from __future__ import annotations
 
@@ -52,6 +61,44 @@ def uniform_from_bits(bits):
     return (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
 
 
+def _reverse_bits(v):
+    v = ((v & jnp.uint32(0x55555555)) << 1) | ((v & jnp.uint32(0xAAAAAAAA)) >> 1)
+    v = ((v & jnp.uint32(0x33333333)) << 2) | ((v & jnp.uint32(0xCCCCCCCC)) >> 2)
+    v = ((v & jnp.uint32(0x0F0F0F0F)) << 4) | ((v & jnp.uint32(0xF0F0F0F0)) >> 4)
+    v = ((v & jnp.uint32(0x00FF00FF)) << 8) | ((v & jnp.uint32(0xFF00FF00)) >> 8)
+    return (v << 16) | (v >> 16)
+
+
+def _owen_scramble(bits, key):
+    """Hash-based nested uniform (Owen) scrambling, Laine-Karras style
+    (Burley 2020 'Practical Hash-based Owen Scrambling')."""
+    v = _reverse_bits(bits)
+    v = v + key
+    v = v ^ (v * jnp.uint32(0x6C50B47C))
+    v = v ^ (v * jnp.uint32(0xB82F1E52))
+    v = v ^ (v * jnp.uint32(0xC7AFE638))
+    v = v ^ (v * jnp.uint32(0x8D22F6E6))
+    return _reverse_bits(v)
+
+
+def _sobol02_bits(index):
+    """The two components of the (0,2)-sequence at `index` as uint32 bit
+    patterns (van der Corput + Sobol' dim 2)."""
+    i = index.astype(jnp.uint32)
+    x = _reverse_bits(i)
+    y = jnp.zeros_like(i)
+    v = jnp.broadcast_to(jnp.uint32(1 << 31), i.shape)
+    idx = i
+
+    def body(k, carry):
+        y, idx, v = carry
+        y = jnp.where((idx & 1) == 1, y ^ v, y)
+        return (y, idx >> 1, v ^ (v >> 1))
+
+    y, _, _ = jax.lax.fori_loop(0, 32, body, (y, idx, v))
+    return x, y
+
+
 class RNG:
     """Per-lane random stream with a dimension counter.
 
@@ -61,27 +108,66 @@ class RNG:
     a python/int scalar, and the dimension counter lives in user code (it is
     returned so callers can thread it through lax loops)."""
 
-    __slots__ = ("seed", "lane", "dim")
+    __slots__ = ("seed", "lane", "dim", "pixel", "sidx", "lds")
 
-    def __init__(self, seed, lane, dim=0):
+    def __init__(self, seed, lane, dim=0, pixel=None, sidx=None, lds=False):
         self.seed = jnp.asarray(seed, jnp.uint32)
         self.lane = jnp.asarray(lane, jnp.uint32)
         self.dim = jnp.asarray(dim, jnp.uint32)
+        self.pixel = None if pixel is None else jnp.asarray(pixel, jnp.uint32)
+        self.sidx = None if sidx is None else jnp.asarray(sidx, jnp.uint32)
+        self.lds = bool(lds) and pixel is not None and sidx is not None
 
     def tree_flatten(self):
-        return (self.seed, self.lane, self.dim), None
+        if self.lds:
+            return (self.seed, self.lane, self.dim, self.pixel, self.sidx), True
+        return (self.seed, self.lane, self.dim), False
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         obj = cls.__new__(cls)
-        obj.seed, obj.lane, obj.dim = leaves
+        if aux:
+            obj.seed, obj.lane, obj.dim, obj.pixel, obj.sidx = leaves
+            obj.lds = True
+        else:
+            obj.seed, obj.lane, obj.dim = leaves
+            obj.pixel = None
+            obj.sidx = None
+            obj.lds = False
         return obj
 
+    def _lds_pair(self):
+        """Owen-scrambled (0,2)-sequence point for this lane's sample index,
+        decorrelated per (pixel, dimension-pair)."""
+        pair = self.dim >> 1
+        k0, k1 = threefry2x32(
+            self.seed, jnp.uint32(0x10D5EED5), self.pixel, pair
+        )
+        xb, yb = _sobol02_bits(self.sidx)
+        return (
+            uniform_from_bits(_owen_scramble(xb, k0)),
+            uniform_from_bits(_owen_scramble(yb, k1)),
+        )
+
+    def _clone(self, dim):
+        return RNG(self.seed, self.lane, dim, self.pixel, self.sidx, self.lds)
+
     def next_1d(self):
+        if self.lds:
+            # even dim -> first component of the pair, odd -> second
+            u0, u1 = self._lds_pair()
+            u = jnp.where((self.dim & 1) == 0, u0, u1)
+            return u, self._clone(self.dim + 1)
         b0, _ = threefry2x32(self.seed, jnp.uint32(0x9E3779B9), self.lane, self.dim)
         return uniform_from_bits(b0), RNG(self.seed, self.lane, self.dim + 1)
 
     def next_2d(self):
+        if self.lds:
+            # align to a fresh pair so both components stratify together
+            dim = self.dim + (self.dim & 1)
+            r = self._clone(dim)
+            u0, u1 = r._lds_pair()
+            return u0, u1, self._clone(dim + 2)
         b0, b1 = threefry2x32(self.seed, jnp.uint32(0x9E3779B9), self.lane, self.dim)
         return uniform_from_bits(b0), uniform_from_bits(b1), RNG(self.seed, self.lane, self.dim + 2)
 
@@ -89,7 +175,10 @@ class RNG:
         """Decorrelated child stream (analog of Sampler::fork, used by NEE
         replay with a cloned sampler, reference: prb_polarized.py:232)."""
         b0, _ = threefry2x32(self.seed, jnp.uint32(salt), self.lane, jnp.uint32(0xC0FFEE))
-        return RNG(self.seed ^ jnp.uint32(salt) ^ jnp.uint32(0xA5A5A5A5), self.lane, self.dim)
+        return RNG(
+            self.seed ^ jnp.uint32(salt) ^ jnp.uint32(0xA5A5A5A5), self.lane,
+            self.dim, self.pixel, self.sidx, self.lds,
+        )
 
 
 jax.tree_util.register_pytree_node(

@@ -173,3 +173,67 @@ def scaling_efficiency(scene, param_paths, target, n_devices, seed=0, spp=None,
         "efficiency": speedup / n_devices,
         "n_devices": n_devices,
     }
+
+
+def init_distributed(coordinator_address=None, num_processes=None, process_id=None,
+                     local_device_ids=None):
+    """Multi-host entry point (the reference is single-process; this is the
+    TPU-pod analog).  Call once per host before building a mesh; afterwards
+    jax.devices() spans every host's chips and make_mesh() shards the
+    wavefront across the full pod — collectives ride ICI within a slice and
+    DCN across slices.
+
+    Args mirror jax.distributed.initialize; under a TPU pod runtime all can
+    be None (auto-discovered from the environment)."""
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    if local_device_ids is not None:
+        kwargs["local_device_ids"] = local_device_ids
+    jax.distributed.initialize(**kwargs)
+    return jax.devices()
+
+
+def render_sharded_multipass(scene, mesh, seed=0, spp=None, spp_per_pass=None,
+                             sensor=0):
+    """Distributed render with the spp axis split into sequential passes to
+    bound per-chip HBM (the sharded analog of render()'s multi-pass loop).
+    Bit-identical to the single-chip, single-pass render: lanes are keyed by
+    global sample id, so neither the chip partition nor the pass
+    decomposition changes any sample's RNG stream."""
+    film = scene.film
+    spp = spp or scene.spp
+    spp_per_pass = spp_per_pass or spp
+    assert spp % spp_per_pass == 0
+    n_dev = mesh.devices.size
+    n_pass_lanes = _pass_lanes(film, spp_per_pass)
+    assert n_pass_lanes % n_dev == 0
+    n_local = n_pass_lanes // n_dev
+    lane_starts = jnp.arange(n_dev, dtype=jnp.uint32) * jnp.uint32(n_local)
+
+    def local(scene, lane0, pass_base):
+        L, wl, wl_pdf, _ = render_lanes(
+            scene, jnp.uint32(seed), lane0[0], n_local, pass_base[0],
+            spp_per_pass, spp, sensor
+        )
+        if scene.n_channels == 4 and wl is not None:
+            xyz = spec.spectrum_to_xyz(L, wl, wl_pdf)
+            L = jnp.clip(spec.xyz_to_srgb(xyz), 0.0, None)
+        return L
+
+    shard_fn = jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(P(), P("rays"), P()), out_specs=P("rays"),
+        check_vma=False,
+    ))
+
+    acc = None
+    for p in range(spp // spp_per_pass):
+        L = shard_fn(scene, lane_starts, jnp.asarray([p * spp_per_pass], jnp.uint32))
+        # lanes are pixel-major within a pass: [n_pixels * spp_pass, C]
+        img = develop(film, L, spp_per_pass)
+        acc = img if acc is None else acc + img
+    return acc / (spp // spp_per_pass)

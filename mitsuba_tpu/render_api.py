@@ -44,7 +44,17 @@ def make_wavefront(scene, seed, lane0, n, pass_base, spp_pass, spp_total, sensor
     s_local = lane_local % jnp.uint32(spp_pass)
     global_sample = pix * jnp.uint32(spp_total) + jnp.uint32(pass_base) + s_local
 
-    rng = RNG(seed, global_sample)
+    stype = getattr(scene, "sampler_type", "independent")
+    if stype != "independent":
+        # low-discrepancy path dimensions: every dim pair is an
+        # Owen-scrambled (0,2)-sequence over the pixel's samples
+        # (reference: src/samplers/*; core/rng.py LDS mode)
+        rng = RNG(
+            seed, global_sample,
+            pixel=pix, sidx=jnp.uint32(pass_base) + s_local, lds=True,
+        )
+    else:
+        rng = RNG(seed, global_sample)
 
     # dims 0-1: film-plane jitter; 2-3: aperture; 4: wavelength
     jx, jy, rng = rng.next_2d()
@@ -54,7 +64,6 @@ def make_wavefront(scene, seed, lane0, n, pass_base, spp_pass, spp_total, sensor
     # film-plane sample point: stratified/low-discrepancy samplers act on
     # the jitter dimension (reference: src/samplers/*; see render/samplers.py)
     u_film = jnp.stack([jx, jy], axis=-1)
-    stype = getattr(scene, "sampler_type", "independent")
     if stype in ("stratified",):
         from .render.samplers import stratified_2d
 

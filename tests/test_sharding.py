@@ -150,3 +150,28 @@ def test_sharded_volumetric_prb_runs():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
     finally:
         mi.set_variant("rgb")
+
+
+def test_render_sharded_multipass_matches_single():
+    """Pass decomposition + chip partition both leave the image bitwise
+    unchanged (global-sample RNG keying)."""
+    from mitsuba_tpu.parallel.sharding import make_mesh, render_sharded_multipass
+
+    scene, spp = _scene(w=16, h=16, spp=8)
+    mesh = make_mesh(4)
+    img_mp = np.asarray(render_sharded_multipass(scene, mesh, seed=0, spp=8, spp_per_pass=2))
+    ref = np.asarray(mi.render(scene, spp=8, seed=0, spp_per_pass=2))
+    np.testing.assert_array_equal(img_mp, ref)
+
+
+def test_init_distributed_signature():
+    """Single-host smoke: the entry point exists and forwards kwargs (full
+    multi-host needs a pod runtime; here we only check the wrapper doesn't
+    mangle arguments by calling with an invalid address and expecting the
+    canonical jax error, not a TypeError)."""
+    from mitsuba_tpu.parallel.sharding import init_distributed
+
+    import pytest as _pytest
+    with _pytest.raises(Exception) as e:
+        init_distributed("127.0.0.1:0", num_processes=2, process_id=0)
+    assert not isinstance(e.value, TypeError)
