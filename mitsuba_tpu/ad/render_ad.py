@@ -27,7 +27,7 @@ def prb_pass_lanes(scene, seed, lane0, n, pass_base, spp_pass, spp_total, sensor
     sample index — partition-invariant, reference: integrator.cpp:230)."""
     from ..render_api import make_wavefront
 
-    rng, ray, wavelengths, _ = make_wavefront(
+    rng, ray, wavelengths, _, _ = make_wavefront(
         scene, seed, lane0, n, pass_base, spp_pass, spp_total, sensor_idx
     )
     active = jnp.ones((n,), bool)
@@ -48,7 +48,7 @@ def _prb_pass_lanes_bwd(n, pass_base, spp_pass, spp_total, sensor_idx, res, dL):
     scene, seed, lane0, L = res
     from ..render_api import make_wavefront
 
-    rng, ray, wavelengths, _ = make_wavefront(
+    rng, ray, wavelengths, _, _ = make_wavefront(
         scene, seed, lane0, n, pass_base, spp_pass, spp_total, sensor_idx
     )
     active = jnp.ones((n,), bool)

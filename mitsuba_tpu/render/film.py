@@ -3,23 +3,34 @@
 TPU-native replacement for Film/ImageBlock
 (reference: src/render/film.cpp, imageblock.cpp, src/rfilters/*).
 
-Design: instead of filter-weighted scatter splatting with atomic
-dr::scatter_reduce (reference: imageblock.cpp:122-126), we use *filter
-importance sampling*: the per-pixel sample position is drawn from the
-normalized reconstruction filter around the pixel center, so every sample
-contributes weight 1 to exactly its own pixel.  The wavefront is pixel-major
-[H*W*spp], so film accumulation is a reshape + mean over the spp axis — no
-scatter, no atomics, perfectly coalesced (the TPU analog of the reference's
-"coalesce" fast path for aligned spp writes, imageblock.cpp:261-264).
-Box/tent/gaussian filters are exact under this scheme; mitchell/catmullrom/
-lanczos (negative lobes) fall back to gaussian sampling.
+Design: two reconstruction paths, both scatter-free.
+
+  * Filter importance sampling (box/tent/gaussian): the per-pixel sample
+    position is drawn from the normalized filter around the pixel center, so
+    every sample contributes weight 1 to exactly its own pixel; accumulation
+    is a reshape + mean over the spp axis (the TPU analog of the reference's
+    "coalesce" fast path, imageblock.cpp:261-264).
+  * Weighted reconstruction (mitchell/catmullrom/lanczos — negative lobes
+    cannot be importance sampled): samples are jittered uniformly in their
+    pixel and develop() accumulates filter-weighted contributions to the
+    (2R+1)^2 neighboring pixels as SHIFTED dense images — per-offset
+    reshape-means plus pad-and-slice shifts, no scatter_add and no atomics
+    (replacing imageblock.cpp:122-126's scatter_reduce).
+
+Crop windows (film.cpp crop_offset/crop_size) restrict the sampled pixel
+set; lanes are pixel-major over the crop region and develop() returns the
+crop-sized image.
 """
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 from flax import struct
 
 from ..core.warp import interval_to_tent
+
+#: filters whose negative lobes force the weighted-reconstruction path
+NEG_LOBE_FILTERS = ("mitchell", "catmullrom", "lanczos")
 
 
 @struct.dataclass
@@ -39,23 +50,78 @@ class Film:
     srf_norms: tuple = struct.field(pytree_node=False, default=())
 
     @property
+    def crop_w(self):
+        return self.crop_size[0] if self.crop_size else self.width
+
+    @property
+    def crop_h(self):
+        return self.crop_size[1] if self.crop_size else self.height
+
+    @property
     def n_pixels(self):
-        return self.width * self.height
+        return self.crop_w * self.crop_h
+
+
+# ---------------------------------------------------------------------------
+# Filter kernels (reference: src/rfilters/{mitchell,catmullrom,lanczos}.cpp)
+# ---------------------------------------------------------------------------
+
+def mitchell_1d(x, B=1.0 / 3.0, C=1.0 / 3.0):
+    """Mitchell-Netravali cubic; catmullrom is (B=0, C=0.5)."""
+    x = jnp.abs(x)
+    x2 = x * x
+    x3 = x2 * x
+    inner = (
+        (12.0 - 9.0 * B - 6.0 * C) * x3
+        + (-18.0 + 12.0 * B + 6.0 * C) * x2
+        + (6.0 - 2.0 * B)
+    ) / 6.0
+    outer = (
+        (-B - 6.0 * C) * x3
+        + (6.0 * B + 30.0 * C) * x2
+        + (-12.0 * B - 48.0 * C) * x
+        + (8.0 * B + 24.0 * C)
+    ) / 6.0
+    return jnp.where(x < 1.0, inner, jnp.where(x < 2.0, outer, 0.0))
+
+
+def lanczos_1d(x, a=3.0):
+    x = jnp.abs(x)
+    pix = jnp.pi * jnp.maximum(x, 1e-9)
+    s1 = jnp.sin(pix) / pix
+    s2 = jnp.sin(pix / a) / (pix / a)
+    out = s1 * s2
+    return jnp.where(x < 1e-9, 1.0, jnp.where(x < a, out, 0.0))
+
+
+def filter_eval_1d(rfilter, x):
+    if rfilter == "mitchell":
+        return mitchell_1d(x)
+    if rfilter == "catmullrom":
+        return mitchell_1d(x, B=0.0, C=0.5)
+    if rfilter == "lanczos":
+        return lanczos_1d(x)
+    raise ValueError(rfilter)
+
+
+def filter_radius(rfilter):
+    return 3 if rfilter == "lanczos" else 2
 
 
 def sample_filter_offset(rfilter: str, u2):
     """Offset within a pixel, importance-sampled from the reconstruction
-    filter, in pixel units relative to the pixel's lower corner."""
-    if rfilter == "box":
+    filter, in pixel units relative to the pixel's lower corner.  Negative-
+    lobe filters use a plain box jitter — their weighting happens in
+    develop() instead."""
+    if rfilter == "box" or rfilter in NEG_LOBE_FILTERS:
         return u2
     if rfilter == "tent":
         # tent with radius 1 px
         return 0.5 + jnp.stack(
             [interval_to_tent(u2[..., 0]), interval_to_tent(u2[..., 1])], axis=-1
         )
-    # gaussian (default, also the fallback for mitchell/catmullrom/lanczos):
-    # stddev 0.5/1.5 px truncated loosely, matching the reference gaussian
-    # rfilter's stddev=0.5 within 4 sigma (src/rfilters/gaussian.cpp)
+    # gaussian (default): stddev 1/3 px truncated loosely, matching the
+    # reference gaussian rfilter (src/rfilters/gaussian.cpp)
     r = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(1.0 - u2[..., 0] * 0.9999, 1e-9)))
     phi = 2.0 * jnp.pi * u2[..., 1]
     sigma = 1.0 / 3.0
@@ -63,27 +129,81 @@ def sample_filter_offset(rfilter: str, u2):
 
 
 def film_positions(film: Film, spp: int, jitter):
-    """Per-lane film-plane sample positions in [0,1]^2, pixel-major layout:
-    lane = (y * W + x) * spp + s.  jitter: [N, 2] in-pixel offsets."""
+    """Per-lane film-plane sample positions in [0,1]^2, pixel-major layout
+    over the CROP region: lane = (yc * crop_w + xc) * spp + s."""
     w, h = film.width, film.height
-    n = w * h * spp
+    cw, ch = film.crop_w, film.crop_h
+    n = cw * ch * spp
     lane = jnp.arange(n, dtype=jnp.uint32)
     pix = lane // jnp.uint32(spp)
-    px = (pix % jnp.uint32(w)).astype(jnp.float32)
-    py = (pix // jnp.uint32(w)).astype(jnp.float32)
+    px = (pix % jnp.uint32(cw)).astype(jnp.float32) + film.crop_offset[0]
+    py = (pix // jnp.uint32(cw)).astype(jnp.float32) + film.crop_offset[1]
     pos = jnp.stack([px, py], axis=-1) + jitter
     return pos / jnp.asarray([w, h], jnp.float32)
 
 
-def develop(film: Film, values, spp: int):
-    """Pixel-major per-lane radiance -> image.
+def develop(film: Film, values, spp: int, jitter=None):
+    """Pixel-major per-lane radiance -> image over the crop window.
 
-    [H*W*spp, C]    -> [H, W, C]       (unpolarized)
-    [H*W*spp, C, 4] -> [H, W, 4, C]    (polarized: Stokes-major channel layout
-                      I/Q/U/V[.lambda], reference: integrator.cpp:1189-1235)"""
+    [ch*cw*spp, C]    -> [ch, cw, C]       (unpolarized)
+    [ch*cw*spp, C, 4] -> [ch, cw, 4, C]    (polarized: Stokes-major channel
+                      layout I/Q/U/V[.lambda], integrator.cpp:1189-1235)
+
+    For mitchell/catmullrom/lanczos, `jitter` (the [N,2] in-pixel offsets
+    used for the camera rays) enables the exact weighted reconstruction;
+    without it those filters reduce to a box average."""
     rest = values.shape[1:]
-    img = values.reshape((film.height, film.width, spp) + rest)
+    ch, cw = film.crop_h, film.crop_w
+    if film.rfilter in NEG_LOBE_FILTERS and jitter is not None:
+        return _develop_weighted(film, values, spp, jitter)
+    img = values.reshape((ch, cw, spp) + rest)
     img = jnp.mean(img, axis=2)
     if len(rest) == 2:  # [C, 4] -> [4, C]
         img = jnp.swapaxes(img, -1, -2)
+    return img
+
+
+def _develop_weighted(film: Film, values, spp: int, jitter):
+    """Scatter-free weighted reconstruction for negative-lobe filters: the
+    contribution of every sample to neighbor pixel (dx, dy) is accumulated
+    as a dense per-offset image and added back SHIFTED."""
+    rest = values.shape[1:]
+    ch, cw = film.crop_h, film.crop_w
+    R = filter_radius(film.rfilter)
+    jx = jitter[..., 0]
+    jy = jitter[..., 1]
+
+    num = jnp.zeros((ch, cw) + rest, values.dtype)
+    den = jnp.zeros((ch, cw), jnp.float32)
+    for dy in range(-R, R + 1):
+        for dx in range(-R, R + 1):
+            # sample sits at (pixel + jitter); neighbor center is at
+            # (pixel + (dx, dy) + 0.5)
+            w = filter_eval_1d(film.rfilter, jx - 0.5 - dx) * filter_eval_1d(
+                film.rfilter, jy - 0.5 - dy
+            )
+            wv = values * w.reshape(w.shape + (1,) * len(rest))
+            num_o = jnp.sum(wv.reshape((ch, cw, spp) + rest), axis=2)
+            den_o = jnp.sum(w.reshape(ch, cw, spp), axis=2)
+            num = num + _shift2d(num_o, dy, dx)
+            den = den + _shift2d(den_o, dy, dx)
+    den = jnp.where(jnp.abs(den) < 1e-8, 1.0, den)
+    img = num / den.reshape(den.shape + (1,) * len(rest))
+    if len(rest) == 2:
+        img = jnp.swapaxes(img, -1, -2)
+    return img
+
+
+def _shift2d(img, dy, dx):
+    """Shift img by (dy, dx) with zero fill (img[y+dy, x+dx] += src[y, x])."""
+    if dy or dx:
+        pad = [(max(dy, 0), max(-dy, 0)), (max(dx, 0), max(-dx, 0))] + [
+            (0, 0)
+        ] * (img.ndim - 2)
+        img = jnp.pad(img, pad)
+        h, w = img.shape[0], img.shape[1]
+        img = img[
+            max(-dy, 0) : h - max(dy, 0),
+            max(-dx, 0) : w - max(dx, 0),
+        ]
     return img

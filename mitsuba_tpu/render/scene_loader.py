@@ -981,7 +981,20 @@ def parse_sensor(spec):
             float(jnp.trapezoid(srf.eval(uv0, lam[:, None], 1)[:, 0], lam))
             for srf in srfs
         )
-    film = Film(width=w, height=h, rfilter=rf_type, srfs=srfs, srf_norms=srf_norms)
+    crop_offset = (
+        int(film_spec.get("crop_offset_x", 0)),
+        int(film_spec.get("crop_offset_y", 0)),
+    )
+    crop_size = None
+    if "crop_width" in film_spec or "crop_height" in film_spec:
+        crop_size = (
+            int(film_spec.get("crop_width", w)),
+            int(film_spec.get("crop_height", h)),
+        )
+    film = Film(
+        width=w, height=h, rfilter=rf_type, crop_offset=crop_offset,
+        crop_size=crop_size, srfs=srfs, srf_norms=srf_norms,
+    )
     sampler_spec = spec.get("sampler", {})
     spp = int(sampler_spec.get("sample_count", 16))
     sampler_type = str(sampler_spec.get("type", "independent"))

@@ -25,7 +25,7 @@ from .render.film import develop, sample_filter_offset
 
 
 def _pass_lanes(film, spp_pass):
-    return film.width * film.height * spp_pass
+    return film.crop_w * film.crop_h * spp_pass
 
 
 def make_wavefront(scene, seed, lane0, n, pass_base, spp_pass, spp_total, sensor_idx):
@@ -35,7 +35,11 @@ def make_wavefront(scene, seed, lane0, n, pass_base, spp_pass, spp_total, sensor
 
     `spp_total` may be a traced uint32 (the RNG keying is pure arithmetic);
     only the stratified sampler family needs it concrete for its strata grid,
-    and only those samplers force it static (see _render_pass)."""
+    and only those samplers force it static (see _render_pass).
+
+    Returns (rng, ray, wavelengths, wl_pdf, jitter) — `jitter` is the in-pixel
+    film offset, needed again at develop() time by the weighted-reconstruction
+    filters (mitchell/catmullrom/lanczos)."""
     film = scene.film
     sensor = scene.sensors[sensor_idx]
 
@@ -77,8 +81,9 @@ def make_wavefront(scene, seed, lane0, n, pass_base, spp_pass, spp_total, sensor
 
         u_film = sobol_2d(s_local, pix, seed)
     jitter = sample_filter_offset(film.rfilter, u_film)
-    px = (pix % jnp.uint32(film.width)).astype(jnp.float32)
-    py = (pix // jnp.uint32(film.width)).astype(jnp.float32)
+    # pixel-major over the CROP window (film.cpp crop_offset/crop_size)
+    px = (pix % jnp.uint32(film.crop_w)).astype(jnp.float32) + film.crop_offset[0]
+    py = (pix // jnp.uint32(film.crop_w)).astype(jnp.float32) + film.crop_offset[1]
     pos = (jnp.stack([px, py], axis=-1) + jitter) / jnp.asarray(
         [film.width, film.height], jnp.float32
     )
@@ -95,7 +100,7 @@ def make_wavefront(scene, seed, lane0, n, pass_base, spp_pass, spp_total, sensor
             use_pin = fixed > 0
             wavelengths = jnp.where(use_pin, pinned, wavelengths)
             wl_pdf = jnp.where(use_pin, 1.0, wl_pdf)
-    return rng, ray, wavelengths, wl_pdf
+    return rng, ray, wavelengths, wl_pdf, jitter
 
 
 def sensor_stokes_rotation(ray_d):
@@ -130,13 +135,20 @@ def render_lanes(scene, seed, lane0, n, pass_base, spp_pass, spp_total, sensor_i
     # derive triangle tables from the vertex buffer inside the trace so
     # gradients flow to `vertex_positions` (Geometry.refresh docstring)
     scene = scene.replace(geometry=scene.geometry.refresh())
-    rng, ray, wavelengths, wl_pdf = make_wavefront(
+    rng, ray, wavelengths, wl_pdf, jitter = make_wavefront(
         scene, seed, lane0, n, pass_base, spp_pass, spp_total, sensor_idx
     )
     active = jnp.ones((n,), bool)
     L, aux = scene.integrator.sample(scene, rng, ray, wavelengths, active)
     if scene.polarized and L.ndim == 3:
         L = to_sensor_mueller(ray.d, L)
+    # NaN/negative splat guard (reference: imageblock.cpp:122-126 warn flags)
+    from .utils.observe import warn_invalid
+
+    L, inv_stats = warn_invalid(L, active)
+    aux = dict(aux)
+    aux.update(inv_stats)
+    aux["film_jitter"] = jitter
     return L, wavelengths, wl_pdf, aux
 
 
@@ -194,18 +206,19 @@ def render(scene, params=None, sensor=0, seed=0, spp=None, spp_per_pass=None):
     acc = None
     for p in range(n_passes):
         this_spp = min(spp_per_pass, spp - p * spp_per_pass)
+        aux = {}
         if use_prb:
             # PRB custom-vjp boundary (reference: _RenderOp, util.py:356-408)
             L = _prb_pass_jit(scene, jnp.uint32(seed), p * spp_per_pass, this_spp, spp, sensor)
             if scene.n_channels == 4:
-                _, _, wavelengths, wl_pdf = make_wavefront(
+                _, _, wavelengths, wl_pdf, _ = make_wavefront(
                     scene, jnp.uint32(seed), 0, _pass_lanes(film, this_spp),
                     p * spp_per_pass, this_spp, spp, sensor,
                 )
             else:
                 wavelengths = wl_pdf = None
         else:
-            L, wavelengths, wl_pdf, _ = _render_pass(
+            L, wavelengths, wl_pdf, aux = _render_pass(
                 scene, jnp.uint32(seed), p * spp_per_pass, this_spp, spp, sensor
             )
         if scene.n_channels == 4 and wavelengths is not None and not scene.polarized:
@@ -227,7 +240,7 @@ def render(scene, params=None, sensor=0, seed=0, spp=None, spp_per_pass=None):
                 # keep raw I/Q/U/V[.lambda], reference: integrator.cpp:1189)
                 xyz = spec.spectrum_to_xyz(L, wavelengths, jax.lax.stop_gradient(wl_pdf))
                 L = jnp.clip(spec.xyz_to_srgb(xyz), 0.0, None)
-        img = develop(film, L, this_spp)
+        img = develop(film, L, this_spp, jitter=aux.get("film_jitter"))
         acc = img * this_spp if acc is None else acc + img * this_spp
     return acc / spp
 
@@ -240,7 +253,7 @@ def _ptracer_pass(scene, seed, spp, sensor_idx):
     wavelengths = None  # ptracer: rgb/mono paths
     acc = scene.integrator.trace_particles(scene, rng, n, wavelengths, sensor_idx)
     # each particle contributes an unbiased per-pixel measurement sample
-    return (acc / n).reshape(film.height, film.width, -1)
+    return (acc / n).reshape(film.height, film.width, -1)  # ptracer splats full film (no crop)
 
 
 def _render_ptracer(scene, seed, spp, sensor_idx):
@@ -285,7 +298,7 @@ def render_test(scene, params=None, seed=0, spp=None, sensor_count=1):
     spp = spp or scene.spp
     L, wavelengths, wl_pdf, _ = _render_pass(scene, jnp.uint32(seed), 0, spp, spp, 0)
     c = L.shape[-1]
-    img = L.reshape(film.height, film.width, spp, c)
+    img = L.reshape(film.crop_h, film.crop_w, spp, c)
     sub_w = film.width // sensor_count
     img = img.reshape(film.height, sensor_count, sub_w, spp, c)
     return jnp.mean(img, axis=(0, 2, 3))  # [sensor_count, C]

@@ -26,7 +26,7 @@ def _small_scene():
 def test_pallas_matches_fallback():
     scene = _small_scene()
     n = 4096
-    _, ray, _, _ = make_wavefront(scene, jnp.uint32(3), 0, n, 0, 4, 4, 0)
+    _, ray, _, _, _ = make_wavefront(scene, jnp.uint32(3), 0, n, 0, 4, 4, 0)
     act = jnp.ones(n, bool)
 
     # XLA fallback reference
@@ -53,7 +53,7 @@ def test_pallas_matches_fallback():
 def test_pallas_inactive_lanes():
     scene = _small_scene()
     n = 1024
-    _, ray, _, _ = make_wavefront(scene, jnp.uint32(5), 0, n, 0, 4, 4, 0)
+    _, ray, _, _, _ = make_wavefront(scene, jnp.uint32(5), 0, n, 0, 4, 4, 0)
     table = build_tri_table(scene.geometry)
     n_tri = jnp.asarray([scene.geometry.n_tris], jnp.int32)
     maxt = jnp.where(jnp.arange(n) % 2 == 0, jnp.inf, -jnp.inf)  # half disabled
