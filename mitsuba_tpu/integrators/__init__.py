@@ -44,7 +44,10 @@ def make_integrator(spec):
         from .volpath import VolPathIntegrator
 
         return VolPathIntegrator(
-            max_depth=max_depth, rr_depth=rr_depth, hide_emitters=hide
+            max_depth=max_depth, rr_depth=rr_depth, hide_emitters=hide,
+            track_steps=int(spec.get("track_steps", 32)),
+            nee_crossings=int(spec.get("nee_crossings", 4)),
+            nee_steps=int(spec.get("nee_steps", 32)),
         )
     if t == "volpathmis":
         if not bool(spec.get("use_spectral_mis", True)):

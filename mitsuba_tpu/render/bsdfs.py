@@ -28,6 +28,7 @@ from . import microfacet as mf
 from . import mueller as mu
 from .fresnel import fresnel, fresnel_conductor
 from .records import BSDFSample
+from .textures import tex_eval
 
 
 def rotate_specular_mueller(M, wo_hat, wi_hat):
@@ -74,7 +75,7 @@ class DiffuseBSDF:
         cos_i = si.wi[..., 2]
         cos_o = wo[..., 2]
         valid = (cos_i > 0) & (cos_o > 0)
-        refl = self.reflectance.eval(si.uv, wavelengths, n_channels)
+        refl = tex_eval(self.reflectance, si, wavelengths, n_channels)
         val = refl * (INV_PI * jnp.maximum(cos_o, 0.0))[..., None]
         return jnp.where(valid[..., None], val, 0.0)
 
@@ -86,7 +87,7 @@ class DiffuseBSDF:
         wo = warp.square_to_cosine_hemisphere(u2)
         pdf = warp.square_to_cosine_hemisphere_pdf(wo)
         valid = si.wi[..., 2] > 0
-        refl = self.reflectance.eval(si.uv, wavelengths, n_channels)
+        refl = tex_eval(self.reflectance, si, wavelengths, n_channels)
         weight = jnp.where(valid[..., None], refl, 0.0)
         bs = BSDFSample(
             wo=wo,
@@ -150,8 +151,8 @@ class SmoothDielectricBSDF:
         )
         wo = jnp.where(pick_reflect[..., None], wo_r, wo_t)
         pdf = jnp.where(pick_reflect, f, 1.0 - f)
-        refl = self.specular_reflectance.eval(si.uv, wavelengths, n_channels)
-        trans = self.specular_transmittance.eval(si.uv, wavelengths, n_channels)
+        refl = tex_eval(self.specular_reflectance, si, wavelengths, n_channels)
+        trans = tex_eval(self.specular_transmittance, si, wavelengths, n_channels)
         # radiance scaling on refraction: 1/eta_it^2 (solid-angle compression)
         factor_t = eta_ti * eta_ti
         weight = jnp.where(
@@ -180,8 +181,8 @@ class SmoothDielectricBSDF:
         M = jnp.broadcast_to(M, M.shape[:-3] + (n_channels, 4, 4))
         M = M / jnp.maximum(bs.pdf, 1e-8)[..., None, None, None]
         M = rotate_specular_mueller(M, wo_hat, wi_hat)
-        refl = self.specular_reflectance.eval(si.uv, wavelengths, n_channels)
-        trans = self.specular_transmittance.eval(si.uv, wavelengths, n_channels)
+        refl = tex_eval(self.specular_reflectance, si, wavelengths, n_channels)
+        trans = tex_eval(self.specular_transmittance, si, wavelengths, n_channels)
         scalar = jnp.where(pick_reflect[..., None], refl, trans)
         return bs, M * scalar[..., None, None]
 
@@ -211,8 +212,8 @@ class ThinDielectricBSDF:
         pick_reflect = u_lobe <= f
         wo = jnp.where(pick_reflect[..., None], reflect(si.wi), -si.wi)
         pdf = jnp.where(pick_reflect, f, 1.0 - f)
-        refl = self.specular_reflectance.eval(si.uv, wavelengths, n_channels)
-        trans = self.specular_transmittance.eval(si.uv, wavelengths, n_channels)
+        refl = tex_eval(self.specular_reflectance, si, wavelengths, n_channels)
+        trans = tex_eval(self.specular_transmittance, si, wavelengths, n_channels)
         weight = jnp.where(pick_reflect[..., None], refl, trans)
         bs = BSDFSample(
             wo=wo, pdf=pdf, eta=jnp.ones_like(pdf), delta=jnp.ones_like(pick_reflect)
@@ -243,7 +244,7 @@ class SmoothConductorBSDF:
         valid = cos_i > 0
         f = fresnel_conductor(cos_i[..., None], self.eta, self.k)
         f = jnp.broadcast_to(f, f.shape[:-1] + (n_channels,))
-        refl = self.specular_reflectance.eval(si.uv, wavelengths, n_channels)
+        refl = tex_eval(self.specular_reflectance, si, wavelengths, n_channels)
         weight = jnp.where(valid[..., None], f * refl, 0.0)
         bs = BSDFSample(
             wo=reflect(si.wi),
@@ -265,7 +266,7 @@ class SmoothConductorBSDF:
         R = jnp.broadcast_to(R, R.shape[:-3] + (n_channels, 4, 4))
         R = rotate_specular_mueller(R, wo_hat, wi_hat)
         valid = si.wi[..., 2] > 0
-        refl = self.specular_reflectance.eval(si.uv, wavelengths, n_channels)
+        refl = tex_eval(self.specular_reflectance, si, wavelengths, n_channels)
         M = jnp.where(valid[..., None, None, None], R * refl[..., None, None], 0.0)
         return bs, M
 
@@ -300,7 +301,7 @@ class RoughConductorBSDF:
 
     def eval(self, si, wo, wavelengths, n_channels):
         # f*cos_o = [D G F / (4 cos_i cos_o)] * cos_o = D G F / (4 cos_i)
-        refl = self.specular_reflectance.eval(si.uv, wavelengths, n_channels)
+        refl = tex_eval(self.specular_reflectance, si, wavelengths, n_channels)
         val, _, _ = self._f(si, wo, wavelengths, n_channels)
         return val * refl
 
@@ -380,8 +381,8 @@ class RoughDielectricBSDF:
         )
         val = jnp.where(reflect_m, val_r, val_t)
         val = jnp.where(valid, val, 0.0)
-        refl = self.specular_reflectance.eval(si.uv, wavelengths, n_channels)
-        trans = self.specular_transmittance.eval(si.uv, wavelengths, n_channels)
+        refl = tex_eval(self.specular_reflectance, si, wavelengths, n_channels)
+        trans = tex_eval(self.specular_transmittance, si, wavelengths, n_channels)
         scalar = jnp.where(reflect_m[..., None], refl, trans)
         return val[..., None] * scalar
 
@@ -571,7 +572,7 @@ class NormalmapBSDF:
 
     def _perturbed_frame(self, si):
         # decode tangent-space normal; n_channels=3 fetch regardless of mode
-        enc = self.normalmap.eval(si.uv, None, 3)
+        enc = tex_eval(self.normalmap, si, None, 3)
         n = normalize(2.0 * enc - 1.0)
         s, t = coordinate_system(n)
         return n, s, t
@@ -622,15 +623,15 @@ class MaskBSDF:
         return self.nested.flags_smooth
 
     def eval(self, si, wo, wavelengths, n_channels):
-        op = self.opacity.eval(si.uv, wavelengths, n_channels)
+        op = tex_eval(self.opacity, si, wavelengths, n_channels)
         return self.nested.eval(si, wo, wavelengths, n_channels) * op
 
     def pdf(self, si, wo):
-        op = jnp.mean(self.opacity.eval(si.uv, None, 1), axis=-1)
+        op = jnp.mean(tex_eval(self.opacity, si, None, 1), axis=-1)
         return self.nested.pdf(si, wo) * op
 
     def sample(self, u_lobe, u2, si, wavelengths, n_channels):
-        op = self.opacity.eval(si.uv, wavelengths, n_channels)
+        op = tex_eval(self.opacity, si, wavelengths, n_channels)
         op_s = jnp.mean(op, axis=-1)
         pass_through = u_lobe >= op_s
         # rescale u_lobe for the nested lobe choice
@@ -660,7 +661,7 @@ class BlendBSDF:
     flags_transmission = False
 
     def _w(self, si):
-        return jnp.mean(self.weight.eval(si.uv, None, 1), axis=-1)
+        return jnp.mean(tex_eval(self.weight, si, None, 1), axis=-1)
 
     def eval(self, si, wo, wavelengths, n_channels):
         w = self._w(si)[..., None]
@@ -712,7 +713,7 @@ class PolarizerBSDF:
 
     def sample(self, u_lobe, u2, si, wavelengths, n_channels):
         n = si.wi.shape[0]
-        t = self.transmittance.eval(si.uv, wavelengths, n_channels)
+        t = tex_eval(self.transmittance, si, wavelengths, n_channels)
         bs = BSDFSample(
             wo=-si.wi, pdf=jnp.ones((n,)), eta=jnp.ones((n,)),
             delta=jnp.ones((n,), bool),
@@ -721,7 +722,7 @@ class PolarizerBSDF:
 
     def sample_pol(self, u_lobe, u2, si, wavelengths, n_channels):
         bs, _ = self.sample(u_lobe, u2, si, wavelengths, n_channels)
-        t = self.transmittance.eval(si.uv, wavelengths, n_channels)
+        t = tex_eval(self.transmittance, si, wavelengths, n_channels)
         M = mu.rotated_element(self.theta, mu.linear_polarizer(jnp.asarray(1.0)))
         M = jnp.broadcast_to(M, (si.wi.shape[0], n_channels, 4, 4))
         return bs, M * t[..., None, None]
@@ -746,7 +747,7 @@ class CircularPolarizerBSDF:
 
     def sample(self, u_lobe, u2, si, wavelengths, n_channels):
         n = si.wi.shape[0]
-        t = self.transmittance.eval(si.uv, wavelengths, n_channels)
+        t = tex_eval(self.transmittance, si, wavelengths, n_channels)
         bs = BSDFSample(
             wo=-si.wi, pdf=jnp.ones((n,)), eta=jnp.ones((n,)),
             delta=jnp.ones((n,), bool),
@@ -755,7 +756,7 @@ class CircularPolarizerBSDF:
 
     def sample_pol(self, u_lobe, u2, si, wavelengths, n_channels):
         bs, _ = self.sample(u_lobe, u2, si, wavelengths, n_channels)
-        t = self.transmittance.eval(si.uv, wavelengths, n_channels)
+        t = tex_eval(self.transmittance, si, wavelengths, n_channels)
         M = mu.circular_polarizer(1.0, left=self.left)
         M = jnp.broadcast_to(M, (si.wi.shape[0], n_channels, 4, 4))
         return bs, M * t[..., None, None]
@@ -781,7 +782,7 @@ class RetarderBSDF:
 
     def sample(self, u_lobe, u2, si, wavelengths, n_channels):
         n = si.wi.shape[0]
-        t = self.transmittance.eval(si.uv, wavelengths, n_channels)
+        t = tex_eval(self.transmittance, si, wavelengths, n_channels)
         bs = BSDFSample(
             wo=-si.wi, pdf=jnp.ones((n,)), eta=jnp.ones((n,)),
             delta=jnp.ones((n,), bool),
@@ -790,7 +791,7 @@ class RetarderBSDF:
 
     def sample_pol(self, u_lobe, u2, si, wavelengths, n_channels):
         bs, _ = self.sample(u_lobe, u2, si, wavelengths, n_channels)
-        t = self.transmittance.eval(si.uv, wavelengths, n_channels)
+        t = tex_eval(self.transmittance, si, wavelengths, n_channels)
         M = mu.rotated_element(self.theta, mu.linear_retarder(self.delta_phase))
         M = jnp.broadcast_to(M, (si.wi.shape[0], n_channels, 4, 4))
         return bs, M * t[..., None, None]
@@ -823,10 +824,10 @@ class RoughPlasticBSDF:
         g = mf.ggx_g(si.wi, wo, h, self.alpha, self.alpha)
         f_h, _, _, _ = fresnel(jnp.sum(si.wi * h, axis=-1), self.eta)
         spec = (f_h * d * g / jnp.maximum(4.0 * cos_i, 1e-9))[..., None]
-        spec = spec * self.specular_reflectance.eval(si.uv, wavelengths, n_channels)
+        spec = spec * tex_eval(self.specular_reflectance, si, wavelengths, n_channels)
         f_i, _, _, eta_ti_i = fresnel(cos_i, self.eta)
         f_o, _, _, _ = fresnel(cos_o, self.eta)
-        diff = self.diffuse_reflectance.eval(si.uv, wavelengths, n_channels)
+        diff = tex_eval(self.diffuse_reflectance, si, wavelengths, n_channels)
         diff = (
             diff
             * ((1.0 - f_i) * (1.0 - f_o) * (1.0 / (self.eta**2)) * INV_PI * jnp.maximum(cos_o, 0.0))[
@@ -880,10 +881,10 @@ class PPlasticBSDF(RoughPlasticBSDF):
         g = mf.ggx_g(si.wi, wo, h, self.alpha, self.alpha)
         f_h, _, _, _ = fresnel(jnp.sum(si.wi * h, axis=-1), self.eta)
         spec = (f_h * d * g / jnp.maximum(4.0 * cos_i, 1e-9))[..., None]
-        spec = spec * self.specular_reflectance.eval(si.uv, wavelengths, n_channels)
+        spec = spec * tex_eval(self.specular_reflectance, si, wavelengths, n_channels)
         f_i, _, _, _ = fresnel(cos_i, self.eta)
         f_o, _, _, _ = fresnel(cos_o, self.eta)
-        diff = self.diffuse_reflectance.eval(si.uv, wavelengths, n_channels)
+        diff = tex_eval(self.diffuse_reflectance, si, wavelengths, n_channels)
         diff = diff * (
             (1.0 - f_i) * (1.0 - f_o) * (1.0 / (self.eta**2))
             * INV_PI * jnp.maximum(cos_o, 0.0)

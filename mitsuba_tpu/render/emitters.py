@@ -149,6 +149,77 @@ class PointEmitter:
 
 
 @struct.dataclass
+class PointEmitterArray:
+    """Many point lights fused into ONE SoA emitter instance (TPU-native
+    many-light path; reference behavior: each point light is a separate
+    plugin, scene.cpp uniform selection — that design costs O(#lights) masked
+    work per lane in the wavefront vcall loop).  Here selection is an
+    internal power-weighted inverse-CDF and the chosen light's row is fetched
+    with one MXU one-hot lookup, so per-lane cost is O(1) in the light count
+    and the intensity table [K, C] stays a single differentiable leaf."""
+
+    values: jnp.ndarray      # [K, Ct] rgb (Ct=3) or mono (Ct=1) intensities
+    positions: jnp.ndarray   # [K, 3]
+
+    is_environment = False
+    is_delta = True
+
+    def eval(self, si, wavelengths, n_channels):
+        return jnp.zeros(si.p.shape[:-1] + (n_channels,), jnp.float32)
+
+    def _sel_cdf(self):
+        from ..core import spectrum as spec
+
+        v = self.values
+        lum = spec.luminance(v) if v.shape[-1] == 3 else v[..., 0]
+        w = jnp.maximum(jax.lax.stop_gradient(lum), 1e-12)
+        cdf = jnp.cumsum(w)
+        return cdf / cdf[-1]
+
+    def sample_direction(self, ref_p, u2, geom, wavelengths, n_channels, emitter_index):
+        from .textures import _to_channels
+
+        n_lanes = ref_p.shape[0]
+        K = self.positions.shape[0]
+        cdf = self._sel_cdf()
+        k = jnp.clip(
+            jnp.searchsorted(cdf, u2[..., 0], side="right", method="compare_all"),
+            0, K - 1,
+        ).astype(jnp.int32)
+        cdf_lo = jnp.concatenate([jnp.zeros((1,), jnp.float32), cdf[:-1]])
+        tbl = jnp.concatenate(
+            [self.positions, self.values, cdf_lo[:, None], cdf[:, None]], axis=-1
+        )  # [K, 3+Ct+2]
+        row = lookup_rows(tbl, k)
+        pos = row[..., 0:3]
+        val = row[..., 3:3 + self.values.shape[-1]]
+        pk = jnp.maximum(row[..., -1] - row[..., -2], 1e-12)
+
+        to_p = pos - ref_p
+        dist2 = jnp.sum(to_p * to_p, axis=-1)
+        dist = jnp.sqrt(jnp.maximum(dist2, 1e-20))
+        d = to_p / dist[..., None]
+        val_c = _to_channels(val, n_channels, wavelengths, True)
+        weight = val_c / (dist2 * pk)[..., None]
+        uv = jnp.stack([k.astype(jnp.float32), jnp.zeros((n_lanes,))], axis=-1)
+        ds = _ds(pos, -d, d, dist, jnp.ones((n_lanes,), jnp.float32), True,
+                 emitter_index, n_lanes, uv=uv)
+        return ds, weight
+
+    def eval_sample_value(self, ds, wavelengths, n_channels):
+        """Differentiable intensity of the light recorded in ds.uv[...,0]
+        (used by the PRB attached recompute, scene.eval_emitter_sample)."""
+        from .textures import _to_channels
+
+        k = ds.uv[..., 0].astype(jnp.int32)
+        val = lookup_rows(self.values, k)
+        return _to_channels(val, n_channels, wavelengths, True)
+
+    def pdf_direction(self, ref_p, si):
+        return jnp.zeros(ref_p.shape[:-1], jnp.float32)
+
+
+@struct.dataclass
 class ConstantEmitter:
     """Uniform environment radiance (reference: src/emitters/constant.cpp)."""
 

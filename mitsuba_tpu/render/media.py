@@ -123,6 +123,77 @@ class HeterogeneousMedium:
         return self.replace(max_density=self.scale * self.sigma_t.max() * 1.0001)
 
 
+def transmittance_eval_pdf(mi_t, si_t, mint, combined_extinction):
+    """Transmittance + free-flight pdf of a sampled medium interaction
+    (reference: src/render/medium.cpp:101-111 Medium::transmittance_eval_pdf).
+    The pdf accounts for whether the ray scattered (mi_t <= si_t) or left the
+    medium; both are spectral [.., C]."""
+    t = (jnp.minimum(mi_t, si_t) - mint)[..., None]
+    tr = jnp.exp(-t * combined_extinction)
+    pdf = jnp.where((si_t < mi_t)[..., None], tr, tr * combined_extinction)
+    return tr, pdf
+
+
+@struct.dataclass
+class TwoStateMedium:
+    """Two-state medium for recursive control variates (the fork's
+    medium.h:68-102 sample_interaction_twostates / transmittance_eval_pdf_old
+    hooks).  JAX realization: hold the *old* parameter state as a second
+    medium pytree; `*_old` queries evaluate it.  `TwoStateMedium.wrap(m)`
+    reproduces the reference default (old == current, medium.cpp:91-122
+    passthrough)."""
+
+    current: object
+    old: object
+
+    # -- current-state delegation ---------------------------------------
+    @property
+    def is_homogeneous(self):
+        return self.current.is_homogeneous
+
+    @property
+    def has_spectral_extinction(self):
+        return self.current.has_spectral_extinction
+
+    @property
+    def phase_index(self):
+        return self.current.phase_index
+
+    def get_majorant(self, p, n_channels):
+        return self.current.get_majorant(p, n_channels)
+
+    def get_majorant_spectrum(self, p, n_channels):
+        return self.current.get_majorant_spectrum(p, n_channels)
+
+    def get_scattering_coefficients(self, p, n_channels):
+        return self.current.get_scattering_coefficients(p, n_channels)
+
+    def intersect_aabb(self, ray):
+        return self.current.intersect_aabb(ray)
+
+    def parameters_changed(self):
+        return self.replace(current=self.current.parameters_changed())
+
+    # -- old-state queries ------------------------------------------------
+    def get_scattering_coefficients_old(self, p, n_channels):
+        """(reference: medium_v.cpp get_scattering_coefficients_old)."""
+        return self.old.get_scattering_coefficients(p, n_channels)
+
+    def transmittance_eval_pdf(self, mi_t, si_t, mint, p, n_channels):
+        _, _, st = self.current.get_scattering_coefficients(p, n_channels)
+        return transmittance_eval_pdf(mi_t, si_t, mint, st)
+
+    def transmittance_eval_pdf_old(self, mi_t, si_t, mint, p, n_channels):
+        """(reference: medium.cpp:114-122 — default passthrough; evaluates
+        the stored old state here)."""
+        _, _, st = self.old.get_scattering_coefficients(p, n_channels)
+        return transmittance_eval_pdf(mi_t, si_t, mint, st)
+
+    @staticmethod
+    def wrap(medium, old=None):
+        return TwoStateMedium(current=medium, old=old if old is not None else medium)
+
+
 def parse_phase(spec, param_paths, phase_prefix, phase_path_root):
     """Parse a phase-function spec into an instance + registered params."""
     from . import phase as PH

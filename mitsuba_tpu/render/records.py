@@ -72,6 +72,10 @@ class SurfaceInteraction:
     wi: jnp.ndarray         # [N, 3] incident dir in local frame (toward origin)
     shape_index: jnp.ndarray  # [N] int32, -1 = none
     prim_index: jnp.ndarray   # [N] int32
+    # raw primitive barycentric (b1, b2) — uv above is the *interpolated*
+    # texture UV; mesh_attribute textures need the barycentrics
+    # (reference: interaction.h prim_uv usage in mesh_attribute.cpp)
+    prim_uv: jnp.ndarray = None   # [N, 2]
 
     @property
     def is_valid(self):
@@ -99,7 +103,7 @@ class SurfaceInteraction:
             t=jnp.full((n_lanes,), jnp.inf, jnp.float32),
             p=z3, n=up, sh_n=up, sh_s=sx, sh_t=sy, uv=z2,
             wi=jnp.tile(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), (n_lanes, 1)),
-            shape_index=zi, prim_index=zi,
+            shape_index=zi, prim_index=zi, prim_uv=z2,
         )
 
 

@@ -48,6 +48,9 @@ class Scene:
     sampler_type: str = struct.field(pytree_node=False, default="independent")
     # (key, path) pairs for traverse()/SceneParameters; static metadata
     param_paths: tuple = struct.field(pytree_node=False, default=())
+    # non-uniform emitter selection probabilities [E] (reference: the optional
+    # DiscreteDistribution m_emitter_distr, scene.cpp:238-250); None = uniform
+    emitter_pmf: jnp.ndarray = None
 
     # -- intersection -------------------------------------------------------
     def ray_intersect(self, ray: Ray, active=None):
@@ -82,7 +85,20 @@ class Scene:
             )
             return ds, zero
 
-        sel = jnp.clip((u0 * E).astype(jnp.int32), 0, E - 1)
+        if self.emitter_pmf is None:
+            sel = jnp.clip((u0 * E).astype(jnp.int32), 0, E - 1)
+            sel_p = jnp.full((n_lanes,), 1.0 / E, jnp.float32)
+        else:
+            # power-weighted selection (reference: scene.cpp:238-250
+            # m_emitter_distr): inverse-CDF on the normalized pmf
+            cdf = jnp.cumsum(self.emitter_pmf)
+            cdf = cdf / cdf[-1]
+            sel = jnp.clip(
+                jnp.searchsorted(cdf, u0, side="right", method="compare_all"),
+                0, E - 1,
+            ).astype(jnp.int32)
+            pmf_n = self.emitter_pmf / jnp.sum(self.emitter_pmf)
+            sel_p = lookup_rows(pmf_n[:, None], sel)[:, 0] if E <= 64 else pmf_n[sel]
         ds_out = None
         w_out = jnp.zeros((n_lanes, self.n_channels), jnp.float32)
         for i, em in enumerate(self.emitters):
@@ -104,9 +120,13 @@ class Scene:
                     uv=jnp.where(m[..., None], ds_i.uv, ds_out.uv),
                 )
                 w_out = jnp.where(m[..., None], w_i, w_out)
-        # selection probability 1/E
-        ds_out = ds_out.replace(pdf=ds_out.pdf / E)
-        w_out = w_out * E
+        # selection probability (uniform: 1/E)
+        if self.emitter_pmf is None:
+            ds_out = ds_out.replace(pdf=ds_out.pdf / E)
+            w_out = w_out * E
+        else:
+            ds_out = ds_out.replace(pdf=ds_out.pdf * sel_p)
+            w_out = w_out / jnp.maximum(sel_p, 1e-20)[..., None]
 
         if test_visibility:
             occluder_dist = ds_out.dist * (1.0 - 1e-3)
@@ -133,13 +153,22 @@ class Scene:
         em_idx = jnp.where(
             si.shape_index >= 0, _int_lookup(self.shape_emitter, shape_idx), -1
         )
+        pmf = self._emitter_sel_pmf()
         pdf = jnp.zeros(ref_p.shape[:-1], jnp.float32)
         for i, em in enumerate(self.emitters):
             if em.is_delta or em.is_environment:
                 continue
             m = em_idx == i
-            pdf = jnp.where(m, em.pdf_direction(ref_p, si), pdf)
-        return pdf / E
+            pdf = jnp.where(m, em.pdf_direction(ref_p, si) * pmf[i], pdf)
+        return pdf
+
+    def _emitter_sel_pmf(self):
+        """Per-emitter selection probabilities [E] (uniform unless a power
+        distribution was built at load time)."""
+        E = self.n_emitters
+        if self.emitter_pmf is None:
+            return jnp.full((E,), 1.0 / max(E, 1), jnp.float32)
+        return self.emitter_pmf / jnp.sum(self.emitter_pmf)
 
     def pdf_emitter_direction_escaped(self, d):
         """NEE pdf for escaped rays evaluated on the environment emitter."""
@@ -147,7 +176,7 @@ class Scene:
         if self.env_emitter < 0 or E == 0:
             return jnp.zeros(d.shape[:-1], jnp.float32)
         em = self.emitters[self.env_emitter]
-        return em.pdf_direction_escaped(d) / E
+        return em.pdf_direction_escaped(d) * self._emitter_sel_pmf()[self.env_emitter]
 
     def eval_emitter_hit(self, si, wavelengths):
         """Radiance of the emitter (if any) at surface hit si."""
@@ -174,7 +203,9 @@ class Scene:
         out = jnp.zeros((n_lanes, self.n_channels), jnp.float32)
         for i, em in enumerate(self.emitters):
             m = ds.emitter_index == i
-            if em.is_environment:
+            if hasattr(em, "eval_sample_value"):
+                v = em.eval_sample_value(ds, wavelengths, self.n_channels)
+            elif em.is_environment:
                 v = em.eval_escaped(ds.d, wavelengths, self.n_channels)
             elif hasattr(em, "radiance"):
                 v = em.radiance.eval(ds.uv, wavelengths, self.n_channels)

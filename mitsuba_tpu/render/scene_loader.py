@@ -25,10 +25,11 @@ BSDF_TYPES = {
     "diffuse", "dielectric", "thindielectric", "conductor", "roughconductor",
     "roughdielectric", "roughplastic", "plastic", "twosided", "null", "mask",
     "blendbsdf", "polarizer", "retarder", "circular", "pplastic", "normalmap", "bumpmap",
-    "principled", "principled_thin", "measured", "hair",
+    "principled", "principled_thin", "measured", "measured_polarized", "hair",
 }
 SHAPE_TYPES = {
-    "rectangle", "cube", "sphere", "obj", "ply", "disk", "serialized", "cylinder",
+    "rectangle", "cube", "sphere", "obj", "ply", "disk", "serialized",
+    "cylinder", "sdfgrid", "bsplinecurve", "linearcurve",
 }
 EMITTER_TYPES = {"constant", "point", "directional", "envmap", "spot", "projector"}
 SENSOR_TYPES = {
@@ -135,6 +136,28 @@ def parse_texture(spec, default=1.0, paths=None, prefix=None, emissive=False):
                 values=jnp.asarray(spec["values"], jnp.float32),
             ),
             "values",
+        )
+    if t == "volume":
+        # 3D texture slice (reference: src/textures/volume.cpp) — nests a
+        # Volume plugin spec (gridvolume/constvolume)
+        from .volumes import parse_volume
+
+        vspec = spec.get("volume")
+        if vspec is None and "data" in spec:
+            vspec = {k: v for k, v in spec.items() if k != "type"}
+            vspec["type"] = "gridvolume"
+        vol, _ = parse_volume(vspec if vspec is not None else 1.0, 3)
+        return TX.VolumeTexture(volume=vol, emissive=emissive), "volume"
+    if t == "mesh_attribute":
+        # placeholder patched after the geometry build (values3 filled from
+        # the owning mesh's per-vertex data; see _patch_mesh_attributes)
+        return (
+            TX.MeshAttributeTexture(
+                values3=jnp.zeros((1, 3, 3), jnp.float32),
+                prim_offset=-1,
+                name=spec.get("name", "vertex_color"),
+            ),
+            "values3",
         )
     raise ValueError(f"unknown texture/spectrum type {t!r}")
 
@@ -339,6 +362,14 @@ def parse_bsdf(spec, name, paths):
         from .bsdf_measured import MeasuredBSDF
 
         return MeasuredBSDF.from_file(spec["filename"])
+    if t == "measured_polarized":
+        from .bsdf_measured_polarized import MeasuredPolarizedBSDF
+
+        return MeasuredPolarizedBSDF.from_file(
+            spec["filename"],
+            alpha_sample=float(spec.get("alpha_sample", 0.1)),
+            wavelength=float(spec.get("wavelength", -1.0)),
+        )
     if t == "principled":
         # reference: src/bsdfs/principled.cpp:189-237 (param parsing + the
         # specular<->eta one-to-one map)
@@ -485,6 +516,62 @@ def parse_bsdf(spec, name, paths):
 # load_dict
 # ---------------------------------------------------------------------------
 
+def _expand_instances(d):
+    """Flatten shapegroup/instance pairs (reference: src/shapes/instance.cpp,
+    shapegroup.cpp) into concrete shapes with composed to_world transforms.
+
+    TPU-native stance: the wavefront tracer keeps ONE flat SoA geometry, so
+    instances are baked at load time — each instance contributes copies of
+    the group's shapes with to_world = instance.to_world @ child.to_world.
+    This trades the reference's two-level-BVH memory sharing for dense
+    tables (the right trade until scenes carry thousands of instances)."""
+    # `merge` nodes (reference: src/shapes/merge.cpp — a mesh-consolidation
+    # wrapper) are flattened: children become top-level shapes.  The SoA
+    # geometry build already concatenates every mesh into one table, so the
+    # reference's merge optimization happens unconditionally here.
+    flat = {}
+    for name, spec in d.items():
+        if isinstance(spec, dict) and spec.get("type") == "merge":
+            for k, v in spec.items():
+                if isinstance(v, dict) and v.get("type") in SHAPE_TYPES:
+                    flat[f"{name}.{k}"] = v
+        else:
+            flat[name] = spec
+    d = flat
+
+    groups = {}
+    out = {}
+    instances = []
+    for name, spec in d.items():
+        if isinstance(spec, dict) and spec.get("type") == "shapegroup":
+            groups[name] = {
+                k: v for k, v in spec.items()
+                if isinstance(v, dict) and v.get("type") in SHAPE_TYPES
+            }
+        elif isinstance(spec, dict) and spec.get("type") == "instance":
+            instances.append((name, spec))
+        else:
+            out[name] = spec
+    for name, spec in instances:
+        ref = next(
+            (v for v in spec.values()
+             if isinstance(v, dict) and v.get("type") == "ref"),
+            None,
+        )
+        gid = spec.get("shapegroup", ref["id"] if ref else None)
+        if isinstance(gid, dict):
+            gid = gid.get("id")
+        if gid not in groups:
+            raise ValueError(f"instance {name!r}: unknown shapegroup {gid!r}")
+        inst_tw = build_transform(spec.get("to_world", Transform.identity()))
+        for child_name, child in groups[gid].items():
+            child = dict(child)
+            child_tw = build_transform(child.get("to_world", Transform.identity()))
+            child["to_world"] = inst_tw @ child_tw
+            out[f"{name}.{child_name}"] = child
+    return out
+
+
 def load_dict(d):
     """Build a Scene from a reference-style nested dict
     (reference: xml.cpp load_dict + util.py cornell_box)."""
@@ -494,6 +581,11 @@ def load_dict(d):
     var = current_variant()
     d = dict(d)
     d.pop("type", None)
+    # optional non-uniform emitter selection (reference: the optional
+    # m_emitter_distr, scene.cpp:238-250): "uniform" (default) | "power"
+    emitter_sampler = d.pop("emitter_sampler", "uniform")
+    fuse_point_lights = d.pop("fuse_point_lights", None)  # None = auto (>4)
+    d = _expand_instances(d)
 
     sampler_type = "independent"
     named_bsdfs = {}      # id -> (index, instance)
@@ -510,6 +602,7 @@ def load_dict(d):
     integrator_spec = {"type": "path"}
     tri_meshes = []
     spheres = []
+    sdf_shapes = []
     shape_records = []    # per shape: dict(bsdf=idx, emitter=idx, name=...)
     param_paths = []      # final (key, full path tuple)
 
@@ -588,6 +681,41 @@ def load_dict(d):
                 m = _load_mesh_native(t, spec["filename"], to_world)
                 m["shape_index"] = shape_index
                 tri_meshes.append(m)
+            elif t in ("bsplinecurve", "linearcurve"):
+                if "control_points" in spec:
+                    cps = np.asarray(spec["control_points"], np.float32)
+                    curves = [cps] if cps.ndim == 2 else list(cps)
+                else:
+                    curves = SH.load_curve_file(spec["filename"])
+                m = SH.make_curve_tube(
+                    curves,
+                    kind="bspline" if t == "bsplinecurve" else "linear",
+                    to_world=to_world,
+                    subdiv=int(spec.get("subdiv", 4)),
+                    phi_res=int(spec.get("phi_res", 8)),
+                )
+                m["shape_index"] = shape_index
+                tri_meshes.append(m)
+            elif t == "sdfgrid":
+                if "data" in spec:
+                    grid = np.asarray(spec["data"], np.float32)
+                else:
+                    from .volumes import load_vol_file
+
+                    grid = load_vol_file(spec["filename"])
+                    if grid.ndim == 4:
+                        grid = grid[..., 0]
+                # to_world maps the [0,1]^3 grid to the world; traversal
+                # needs world -> local (reference: sdfgrid.cpp)
+                to_local = np.linalg.inv(np.asarray(to_world.m, np.float64))
+                sdf_shapes.append({
+                    "data": grid,
+                    "to_local": to_local.astype(np.float32),
+                    "shape_index": shape_index,
+                })
+                param_paths.append(
+                    (f"{name}.grid", ("geometry", "sdf_data"))
+                )
             elif t == "sphere":
                 c = np.asarray(spec.get("center", [0, 0, 0]), np.float32)
                 r = float(spec.get("radius", 1.0))
@@ -660,6 +788,11 @@ def load_dict(d):
                 tri_meshes.append(
                     {"vertices": Vw.astype(np.float32), "faces": F, "shape_index": shape_index}
                 )
+            # per-vertex attribute tables (consumed by mesh_attribute
+            # textures; reference: Mesh::add_attribute, mesh_attribute.cpp)
+            if "attributes" in spec and tri_meshes and \
+                    tri_meshes[-1].get("shape_index") == shape_index:
+                tri_meshes[-1]["attributes"] = spec["attributes"]
             rec = {
                 "name": name,
                 "bsdf": resolve_bsdf(spec.get("bsdf"), name),
@@ -681,7 +814,12 @@ def load_dict(d):
         )
         film = Film(width=64, height=64)
 
-    geometry = SH.build_geometry(tri_meshes, spheres)
+    geometry = SH.build_geometry(tri_meshes, spheres, sdf_shapes)
+
+    # fill mesh_attribute texture placeholders now that global triangle
+    # offsets are known (reference: mesh_attribute.cpp reads the attribute
+    # of the hit mesh at (prim_index, prim_uv))
+    bsdf_list = _patch_mesh_attributes(bsdf_list, shape_records, tri_meshes)
 
     # per-shape differentiable vertex views (reference: mesh vertex_positions,
     # Differentiable|Discontinuous, src/render/mesh.cpp:84-91)
@@ -743,6 +881,49 @@ def load_dict(d):
             (f"{shape_name}.emitter.radiance.{leaf}", ("emitters", e_idx, "radiance", leaf))
         )
         shape_records[shape_index]["emitter"] = e_idx
+
+    # many-light fast path: fuse >4 constant-intensity point lights into one
+    # SoA PointEmitterArray (see emitters.PointEmitterArray docstring)
+    def _bakeable_point(spec):
+        if spec["type"] != "point":
+            return None
+        i = spec.get("intensity", 1.0)
+        if isinstance(i, (int, float)):
+            return [float(i)] * 3
+        if isinstance(i, (list, tuple)) and len(i) in (1, 3):
+            v = [float(x) for x in i]
+            return v * 3 if len(v) == 1 else v
+        if isinstance(i, dict) and i.get("type") in ("rgb", "uniform"):
+            v = i.get("value", 1.0)
+            return [float(v)] * 3 if isinstance(v, (int, float)) else [float(x) for x in v]
+        return None
+
+    point_group = [
+        (name, spec, _bakeable_point(spec))
+        for kind, name, spec in emitter_list
+        if spec["type"] == "point" and _bakeable_point(spec) is not None
+    ]
+    do_fuse = (len(point_group) > 4) if fuse_point_lights is None else (
+        fuse_point_lights and len(point_group) > 0
+    )
+    if do_fuse:
+        grouped_names = {n for n, _, _ in point_group}
+        emitter_list = [e for e in emitter_list if e[1] not in grouped_names]
+        pos_rows, val_rows = [], []
+        for name, spec, val in point_group:
+            p = spec.get("position", [0, 0, 0])
+            if "to_world" in spec:
+                p = np.asarray(build_transform(spec["to_world"]).m)[:3, 3]
+            pos_rows.append(np.asarray(p, np.float32))
+            val_rows.append(np.asarray(val, np.float32))
+        e_idx = len(emitters)
+        emitters.append(
+            E.PointEmitterArray(
+                values=jnp.asarray(np.stack(val_rows)),
+                positions=jnp.asarray(np.stack(pos_rows)),
+            )
+        )
+        param_paths.append(("point_lights.values", ("emitters", e_idx, "values")))
 
     for kind, name, spec in emitter_list:
         t = spec["type"]
@@ -838,6 +1019,12 @@ def load_dict(d):
 
     integrator = make_integrator(integrator_spec)
 
+    emitter_pmf = None
+    if emitter_sampler == "power" and len(emitters) > 1:
+        emitter_pmf = jnp.asarray(
+            [_emitter_power(em, radius) for em in emitters], jnp.float32
+        )
+
     scene = Scene(
         geometry=geometry,
         bsdfs=tuple(bsdf_list),
@@ -859,8 +1046,94 @@ def load_dict(d):
         polarized=var.polarized,
         sampler_type=sampler_type,
         param_paths=tuple(param_paths),
+        emitter_pmf=emitter_pmf,
     )
     return scene
+
+
+def _patch_mesh_attributes(bsdf_list, shape_records, tri_meshes):
+    """Replace MeshAttributeTexture placeholders (prim_offset == -1) with the
+    owning mesh's per-vertex data gathered per (triangle, corner), plus the
+    mesh's global triangle offset in the concatenated SoA table."""
+    import dataclasses
+
+    # global face offset per tri_meshes entry (build_geometry concat order)
+    offsets = {}
+    off = 0
+    for m in tri_meshes:
+        offsets[id(m)] = off
+        off += int(np.asarray(m["faces"]).shape[0])
+
+    def mesh_for_bsdf(b_idx, attr_name):
+        for si_, rec in enumerate(shape_records):
+            if rec["bsdf"] != b_idx:
+                continue
+            for m in tri_meshes:
+                if m.get("shape_index") == si_ and attr_name in (m.get("attributes") or {}):
+                    return m
+        return None
+
+    out = []
+    for b_idx, b in enumerate(bsdf_list):
+        if not dataclasses.is_dataclass(b):
+            out.append(b)
+            continue
+        reps = {}
+        for f in dataclasses.fields(b):
+            tex = getattr(b, f.name, None)
+            if isinstance(tex, TX.MeshAttributeTexture) and tex.prim_offset == -1:
+                m = mesh_for_bsdf(b_idx, tex.name)
+                if m is None:
+                    raise ValueError(
+                        f"mesh_attribute texture {tex.name!r}: no mesh with "
+                        "that attribute uses this BSDF"
+                    )
+                attr = np.asarray(m["attributes"][tex.name], np.float32)
+                if attr.ndim == 1:
+                    attr = attr[:, None]
+                F = np.asarray(m["faces"], np.int32)
+                values3 = attr[F]                      # [F, 3, C]
+                reps[f.name] = TX.MeshAttributeTexture(
+                    values3=jnp.asarray(values3),
+                    prim_offset=offsets[id(m)],
+                    name=tex.name,
+                )
+        out.append(b.replace(**reps) if reps else b)
+    return out
+
+
+def _emitter_power(em, scene_radius):
+    """Relative power heuristic for emitter selection weights (reference:
+    scene.cpp:238-250 builds its DiscreteDistribution from sampling weights).
+    Absolute scale is irrelevant — only ratios matter."""
+    import numpy as np
+
+    def tex_mean(tex):
+        v = getattr(tex, "value", None)
+        if v is None:
+            return 1.0
+        return float(np.mean(np.asarray(v)))
+
+    r = float(scene_radius)
+    if isinstance(em, E.PointEmitterArray):
+        return 4.0 * np.pi * float(np.sum(np.mean(np.asarray(em.values), axis=-1)))
+    if isinstance(em, (E.AreaEmitter, E.DirectionalAreaEmitter)):
+        return float(np.pi * float(em.total_area) * tex_mean(em.radiance))
+    if isinstance(em, E.PointEmitter):
+        return 4.0 * np.pi * tex_mean(em.intensity)
+    if isinstance(em, E.ConstantEmitter):
+        return 4.0 * np.pi**2 * r * r * tex_mean(em.radiance)
+    if isinstance(em, E.EnvmapEmitter):
+        lum = np.asarray(em.data).mean() * float(em.scale)
+        return 4.0 * np.pi**2 * r * r * float(lum)
+    if isinstance(em, E.DirectionalEmitter):
+        return float(np.pi * r * r * tex_mean(em.irradiance))
+    if isinstance(em, E.SpotEmitter):
+        solid = 2.0 * np.pi * (1.0 - float(em.cos_cutoff))
+        return solid * tex_mean(em.intensity)
+    if isinstance(em, E.ProjectorEmitter):
+        return float(np.pi * tex_mean(em.irradiance) * float(em.scale))
+    return 1.0
 
 
 def _load_mesh_native(kind, filename, to_world):

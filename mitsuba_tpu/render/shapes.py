@@ -50,6 +50,13 @@ class Geometry:
     sph_center: jnp.ndarray  # [S, 3]
     sph_radius: jnp.ndarray  # [S]
     sph_shape: jnp.ndarray   # [S] int32
+    # signed-distance-field grid shape (reference: src/shapes/sdfgrid.cpp):
+    # one grid per scene for now; values on [0,1]^3 nodes, sphere-traced.
+    # sdf_data is a DIFFERENTIABLE scene parameter (hit t couples to the
+    # grid through the implicit function theorem in _sdf_trace).
+    sdf_data: jnp.ndarray    # [D, H, W] ([1,1,1] zeros if absent)
+    sdf_to_local: jnp.ndarray  # [4, 4] world -> grid space
+    sdf_shape: jnp.ndarray   # [] int32 shape index (-1 if absent)
     # threaded BVH (native binned-SAH build; see native/src/bvh.cpp) — only
     # populated for scenes beyond the SMEM brute-force size
     bvh_lo: jnp.ndarray      # [M, 3]
@@ -64,6 +71,7 @@ class Geometry:
     n_tris: int = struct.field(pytree_node=False)
     n_spheres: int = struct.field(pytree_node=False)
     has_vertex_normals: bool = struct.field(pytree_node=False)
+    n_sdfs: int = struct.field(pytree_node=False, default=0)
     has_bvh: bool = struct.field(pytree_node=False, default=False)
     # (start, count) per mesh into `vertices`, ordered like the meshes passed
     # to build_geometry; consumed by traverse() for per-shape
@@ -100,7 +108,7 @@ class Geometry:
         return self.replace(tri_v0=p0, tri_e1=e1, tri_e2=e2, tri_ng=ng, tri_vn=vn)
 
 
-def build_geometry(tri_meshes, spheres):
+def build_geometry(tri_meshes, spheres, sdfs=()):
     """Host-side geometry compile.
 
     tri_meshes: list of dicts {vertices [V,3], faces [F,3], shape_index,
@@ -256,9 +264,18 @@ def build_geometry(tri_meshes, spheres):
         tri_shape=jnp.asarray(tri_shape),
         sph_center=jnp.asarray(sph_center), sph_radius=jnp.asarray(sph_radius),
         sph_shape=jnp.asarray(sph_shape),
+        sdf_data=jnp.asarray(
+            sdfs[0]["data"] if sdfs else np.zeros((1, 1, 1), np.float32)
+        ),
+        sdf_to_local=jnp.asarray(
+            sdfs[0]["to_local"] if sdfs else np.eye(4, dtype=np.float32)
+        ),
+        sdf_shape=jnp.asarray(
+            sdfs[0]["shape_index"] if sdfs else -1, jnp.int32
+        ),
         bvh_lo=jnp.asarray(bvh_lo), bvh_hi=jnp.asarray(bvh_hi),
         bvh_skip=jnp.asarray(bvh_skip), bvh_payload=jnp.asarray(bvh_payload),
-        n_tris=T_pad, n_spheres=S, has_vertex_normals=any_vn,
+        n_tris=T_pad, n_spheres=S, n_sdfs=len(sdfs), has_vertex_normals=any_vn,
         has_bvh=has_bvh,
     )
 
@@ -385,8 +402,120 @@ def ray_intersect_preliminary(geom: Geometry, ray: Ray, active=None):
     return _sphere_pass(geom, ray, best_t, best_prim, best_uv)
 
 
+def sdf_trilerp(data, p):
+    """Trilinear SDF sample at local p in [0,1]^3 (grid nodes at the cell
+    corners; x -> W, y -> H, z -> D).  p: [..., 3]."""
+    D, H, W = data.shape
+    x = jnp.clip(p[..., 0], 0.0, 1.0) * (W - 1)
+    y = jnp.clip(p[..., 1], 0.0, 1.0) * (H - 1)
+    z = jnp.clip(p[..., 2], 0.0, 1.0) * (D - 1)
+    x0 = jnp.clip(x.astype(jnp.int32), 0, max(W - 2, 0))
+    y0 = jnp.clip(y.astype(jnp.int32), 0, max(H - 2, 0))
+    z0 = jnp.clip(z.astype(jnp.int32), 0, max(D - 2, 0))
+    fx = x - x0
+    fy = y - y0
+    fz = z - z0
+    flat = data.reshape(-1)
+
+    def at(dz, dy, dx):
+        idx = ((z0 + dz) * H + (y0 + dy)) * W + (x0 + dx)
+        return flat[jnp.clip(idx, 0, flat.shape[0] - 1)]
+
+    c00 = at(0, 0, 0) * (1 - fx) + at(0, 0, 1) * fx
+    c01 = at(0, 1, 0) * (1 - fx) + at(0, 1, 1) * fx
+    c10 = at(1, 0, 0) * (1 - fx) + at(1, 0, 1) * fx
+    c11 = at(1, 1, 0) * (1 - fx) + at(1, 1, 1) * fx
+    c0 = c00 * (1 - fy) + c01 * fy
+    c1 = c10 * (1 - fy) + c11 * fy
+    return c0 * (1 - fz) + c1 * fz
+
+
+def sdf_gradient(data, p, h=None):
+    """Central-difference gradient of the trilinear field in local units."""
+    D, H, W = data.shape
+    if h is None:
+        h = 0.5 / max(D, H, W)
+    ex = jnp.asarray([h, 0.0, 0.0])
+    ey = jnp.asarray([0.0, h, 0.0])
+    ez = jnp.asarray([0.0, 0.0, h])
+    gx = sdf_trilerp(data, p + ex) - sdf_trilerp(data, p - ex)
+    gy = sdf_trilerp(data, p + ey) - sdf_trilerp(data, p - ey)
+    gz = sdf_trilerp(data, p + ez) - sdf_trilerp(data, p - ez)
+    return jnp.stack([gx, gy, gz], axis=-1) / (2.0 * h)
+
+
+SDF_STEPS = 96
+SDF_TOL = 5e-4
+
+
+def _sdf_trace(geom: Geometry, ray: Ray, best_t):
+    """Sphere tracing of the SDF grid (reference: sdfgrid.cpp ray_intersect
+    via its OptiX/embree sphere-trace programs).  Returns (t_world [N],
+    hit [N]).  The returned t is differentiable w.r.t. sdf_data AND the ray
+    through the implicit function theorem:
+        F(t, theta) = f_theta(o + t d) = 0
+        =>  t* = stop_grad(t) - F(stop_grad(t)) / stop_grad(dF/dt)."""
+    A = geom.sdf_to_local
+    o_l = ray.o @ A[:3, :3].T + A[:3, 3]
+    d_l = ray.d @ A[:3, :3].T
+    s = jnp.linalg.norm(d_l, axis=-1)
+    s = jnp.maximum(s, 1e-12)
+
+    # clip the march to the [0,1]^3 grid box (in world-t units)
+    inv = 1.0 / jnp.where(jnp.abs(d_l) < 1e-12, 1e-12, d_l)
+    t0 = (0.0 - o_l) * inv
+    t1 = (1.0 - o_l) * inv
+    tmin = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tmax = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    tmax = jnp.minimum(tmax, best_t)
+    valid_box = tmax > jnp.maximum(tmin, 0.0)
+
+    t_start = jnp.maximum(tmin, 0.0) + 1e-5
+
+    def cond(st):
+        t, armed, done, it = st
+        return jnp.any(~done) & (it < SDF_STEPS)
+
+    def body(st):
+        # `armed` gates the hit test: rays spawned on (or just inside) the
+        # surface band must first exit |f| < tol before a hit can register,
+        # or every secondary/shadow ray self-intersects at its origin.
+        t, armed, done, it = st
+        p = o_l + t[..., None] * d_l
+        f = sdf_trilerp(geom.sdf_data, p)
+        hit = armed & (f < SDF_TOL)
+        armed = armed | (f > 2.0 * SDF_TOL)
+        over = t > tmax
+        done2 = done | hit | over
+        step = jnp.maximum(jnp.abs(f), SDF_TOL * 0.5) / s
+        t = jnp.where(done2, t, t + step)
+        return t, armed, done2, it + 1
+
+    f0 = sdf_trilerp(geom.sdf_data, o_l + t_start[..., None] * d_l)
+    t_end, _, done, _ = jax.lax.while_loop(
+        cond, body,
+        (t_start, f0 > 2.0 * SDF_TOL, ~valid_box, jnp.int32(0)),
+    )
+    p_end = o_l + t_end[..., None] * d_l
+    f_end = sdf_trilerp(jax.lax.stop_gradient(geom.sdf_data),
+                        jax.lax.stop_gradient(p_end))
+    hit = valid_box & (f_end < 2.0 * SDF_TOL) & (t_end < tmax) & (t_end > 0.0)
+
+    # implicit-function-theorem differentiable hit distance
+    t_sg = jax.lax.stop_gradient(t_end)
+    p_att = o_l + t_sg[..., None] * d_l           # attached to ray/transform
+    F_att = sdf_trilerp(geom.sdf_data, p_att)     # attached to the grid
+    g = sdf_gradient(jax.lax.stop_gradient(geom.sdf_data),
+                     jax.lax.stop_gradient(p_att))
+    dFdt = jnp.sum(g * jax.lax.stop_gradient(d_l), axis=-1)
+    dFdt = jnp.where(jnp.abs(dFdt) < 1e-6, jnp.sign(dFdt) * 1e-6 + 1e-12, dFdt)
+    t_diff = t_sg - (F_att - jax.lax.stop_gradient(F_att)) / dFdt
+    return jnp.where(hit, t_diff, jnp.inf), hit
+
+
 def _sphere_pass(geom: Geometry, ray: Ray, best_t, best_prim, best_uv):
-    """Analytic-sphere closest-hit pass + final record assembly."""
+    """Analytic-shape closest-hit pass (spheres + SDF grid) + final record
+    assembly."""
     if geom.n_spheres > 0:
         # sphere quadratic: ||o + t d - c||^2 = r^2
         oc = ray.o[:, None, :] - geom.sph_center[None]        # [N,S,3]
@@ -404,6 +533,14 @@ def _sphere_pass(geom: Geometry, ray: Ray, best_t, best_prim, best_uv):
         closer = tj < best_t
         best_t = jnp.where(closer, tj, best_t)
         best_prim = jnp.where(closer, geom.n_tris + j.astype(jnp.int32), best_prim)
+
+    if geom.n_sdfs > 0:
+        t_sdf, hit_sdf = _sdf_trace(geom, ray, best_t)
+        closer = hit_sdf & (t_sdf < best_t)
+        best_t = jnp.where(closer, t_sdf, best_t)
+        best_prim = jnp.where(
+            closer, jnp.int32(geom.n_tris + geom.n_spheres), best_prim
+        )
 
     found = best_prim >= 0
     t_out = jnp.where(found, best_t, jnp.inf)
@@ -503,6 +640,20 @@ def compute_surface_interaction(geom: Geometry, ray: Ray, pi: PreliminaryInterse
     uv = jnp.where(is_tri[:, None], uv_t, uv_s)
     shape_index = jnp.where(is_tri, shape_t, shape_s)
 
+    if geom.n_sdfs > 0:
+        # SDF normal: local gradient mapped by the inverse-transpose
+        # (reference: sdfgrid.cpp smooth normal mode)
+        is_sdf = prim >= (geom.n_tris + geom.n_spheres)
+        A = geom.sdf_to_local
+        p_l = p @ A[:3, :3].T + A[:3, 3]
+        g_l = sdf_gradient(geom.sdf_data, p_l)
+        n_w = g_l @ A[:3, :3]          # (A^T)^T = row-vector times A
+        n_w = normalize(n_w)
+        ng = jnp.where(is_sdf[:, None], n_w, ng)
+        sh_n = jnp.where(is_sdf[:, None], n_w, sh_n)
+        uv = jnp.where(is_sdf[:, None], p_l[:, :2], uv)
+        shape_index = jnp.where(is_sdf, geom.sdf_shape, shape_index)
+
     # orient geometric normal to the same hemisphere as shading normal
     ng = jnp.where(dot(ng, sh_n, keepdims=True) < 0.0, -ng, ng)
 
@@ -517,12 +668,135 @@ def compute_surface_interaction(geom: Geometry, ray: Ray, pi: PreliminaryInterse
         t=t, p=p, n=ng, sh_n=sh_n, sh_s=sh_s, sh_t=sh_t, uv=uv,
         wi=wi_local, shape_index=shape_index,
         prim_index=jnp.where(valid, pi.prim_index, -1),
+        prim_uv=pi.prim_uv,
     )
 
 
 # ---------------------------------------------------------------------------
 # Host-side shape builders (reference: src/shapes/{rectangle,cube,sphere}.cpp)
 # ---------------------------------------------------------------------------
+
+def _bspline_resample(pts, radii, subdiv):
+    """Uniform cubic B-spline through the control polygon, sampled at
+    `subdiv` points per segment (reference: src/shapes/bsplinecurve.cpp —
+    curves are C2 cubic B-splines over the control points)."""
+    P = np.asarray(pts, np.float64)
+    R = np.asarray(radii, np.float64)
+    n = P.shape[0]
+    if n < 4:
+        return np.asarray(pts, np.float32), np.asarray(radii, np.float32)
+    out_p, out_r = [], []
+    n_seg = n - 3
+    for s in range(n_seg):
+        ts = np.linspace(0.0, 1.0, subdiv, endpoint=False) if s < n_seg - 1 \
+            else np.linspace(0.0, 1.0, subdiv + 1)
+        for t in ts:
+            # cubic uniform B-spline basis
+            b0 = (1 - t) ** 3 / 6.0
+            b1 = (3 * t**3 - 6 * t**2 + 4) / 6.0
+            b2 = (-3 * t**3 + 3 * t**2 + 3 * t + 1) / 6.0
+            b3 = t**3 / 6.0
+            out_p.append(b0 * P[s] + b1 * P[s + 1] + b2 * P[s + 2] + b3 * P[s + 3])
+            out_r.append(b0 * R[s] + b1 * R[s + 1] + b2 * R[s + 2] + b3 * R[s + 3])
+    return np.asarray(out_p, np.float32), np.asarray(out_r, np.float32)
+
+
+def make_curve_tube(curves, kind="linear", to_world=None, subdiv=4, phi_res=8):
+    """Tessellate fiber curves into a smooth-shaded triangle tube mesh.
+
+    TPU-native stance: the reference intersects curves analytically with
+    per-shape Embree/OptiX programs (src/shapes/{bsplinecurve,linearcurve}
+    .cpp); the wavefront tracer keeps ONE flat SoA triangle table, so curves
+    are tessellated at load time (phi_res radial segments, parallel-
+    transported frames — no twisting) with exact radial shading normals.
+
+    curves: list of [P, 4] arrays (x, y, z, radius per vertex)."""
+    verts, norms, uvs, faces = [], [], [], []
+    v_off = 0
+    for c in curves:
+        c = np.asarray(c, np.float32)
+        pts, radii = c[:, :3], c[:, 3]
+        if kind == "bspline":
+            pts, radii = _bspline_resample(pts, radii, subdiv)
+        m = pts.shape[0]
+        if m < 2:
+            continue
+        # tangents + parallel-transported frames
+        tan = np.zeros_like(pts)
+        tan[0] = pts[1] - pts[0]
+        tan[-1] = pts[-1] - pts[-2]
+        tan[1:-1] = pts[2:] - pts[:-2]
+        tan /= np.maximum(np.linalg.norm(tan, axis=-1, keepdims=True), 1e-12)
+        u = np.cross(tan[0], [0.0, 0.0, 1.0])
+        if np.linalg.norm(u) < 1e-6:
+            u = np.cross(tan[0], [0.0, 1.0, 0.0])
+        u /= np.linalg.norm(u)
+        frames_u = [u]
+        for i in range(1, m):
+            # rotate previous u into the new tangent plane (parallel transport)
+            un = frames_u[-1] - np.dot(frames_u[-1], tan[i]) * tan[i]
+            ln = np.linalg.norm(un)
+            if ln < 1e-8:
+                un = np.cross(tan[i], [0.0, 0.0, 1.0])
+                ln = np.linalg.norm(un)
+                if ln < 1e-8:
+                    un = np.cross(tan[i], [0.0, 1.0, 0.0])
+                    ln = np.linalg.norm(un)
+            frames_u.append(un / ln)
+        phis = 2.0 * np.pi * np.arange(phi_res) / phi_res
+        t_par = np.concatenate(
+            [[0.0], np.cumsum(np.linalg.norm(np.diff(pts, axis=0), axis=-1))]
+        )
+        t_par /= max(t_par[-1], 1e-12)
+        for i in range(m):
+            uvec = frames_u[i]
+            vvec = np.cross(tan[i], uvec)
+            ring_n = (np.cos(phis)[:, None] * uvec[None]
+                      + np.sin(phis)[:, None] * vvec[None])
+            verts.append(pts[i] + radii[i] * ring_n)
+            norms.append(ring_n)
+            uvs.append(np.stack(
+                [phis / (2 * np.pi), np.full(phi_res, t_par[i])], axis=-1
+            ))
+        for i in range(m - 1):
+            for j in range(phi_res):
+                a = v_off + i * phi_res + j
+                b = v_off + i * phi_res + (j + 1) % phi_res
+                cq = a + phi_res
+                dq = b + phi_res
+                faces.append([a, b, dq])
+                faces.append([a, dq, cq])
+        v_off += m * phi_res
+    V = np.concatenate(verts).astype(np.float32) if verts else np.zeros((0, 3), np.float32)
+    N = np.concatenate(norms).astype(np.float32) if norms else np.zeros((0, 3), np.float32)
+    UV = np.concatenate(uvs).astype(np.float32) if uvs else np.zeros((0, 2), np.float32)
+    F = np.asarray(faces, np.int32).reshape(-1, 3)
+    if to_world is not None:
+        M = np.asarray(to_world.m)
+        V = (M[:3, :3] @ V.T + M[:3, 3:4]).T.astype(np.float32)
+        Ninv = np.linalg.inv(M[:3, :3]).astype(np.float32)
+        N = (N @ Ninv).astype(np.float32)
+        N /= np.maximum(np.linalg.norm(N, axis=-1, keepdims=True), 1e-12)
+    return {"vertices": V, "faces": F, "normals": N, "uvs": UV}
+
+
+def load_curve_file(filename):
+    """Parse the reference's curve text format: one 'x y z radius' per line,
+    blank lines separate curves (src/shapes/linearcurve.cpp docs)."""
+    curves, cur = [], []
+    with open(filename) as f:
+        for line in f:
+            s = line.strip()
+            if not s or s.startswith("#"):
+                if cur:
+                    curves.append(np.asarray(cur, np.float32))
+                    cur = []
+                continue
+            cur.append([float(x) for x in s.split()[:4]])
+    if cur:
+        curves.append(np.asarray(cur, np.float32))
+    return curves
+
 
 def make_rectangle(to_world):
     """Unit rectangle [-1,1]^2 in the z=0 plane -> 2 triangles

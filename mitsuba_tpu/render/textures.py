@@ -219,3 +219,74 @@ class IrregularSpectrum:
 
     def mean(self):
         return jnp.mean(self.values)
+
+
+def tex_eval(tex, si, wavelengths, n_channels):
+    """Texture dispatch: position/primitive-aware textures define eval_si
+    (reference: src/textures/volume.cpp evaluates at it.p, mesh_attribute.cpp
+    at (prim_index, prim_uv)); plain textures read si.uv."""
+    if hasattr(tex, "eval_si"):
+        return tex.eval_si(si, wavelengths, n_channels)
+    return tex.eval(si.uv, wavelengths, n_channels)
+
+
+@struct.dataclass
+class VolumeTexture:
+    """3D texture slice: evaluates a Volume at the surface hit position
+    (reference: src/textures/volume.cpp)."""
+
+    volume: object          # ConstVolume / GridVolume
+    emissive: bool = struct.field(pytree_node=False, default=False)
+
+    def eval_si(self, si, wavelengths, n_channels):
+        v3 = self.volume.eval(si.p, 3)
+        return _to_channels(v3, n_channels, wavelengths, self.emissive)
+
+    def eval(self, uv, wavelengths, n_channels):
+        # uv-only call sites (e.g. emitter radiance re-eval) fall back to the
+        # volume's mean value — positionless queries have no 3D location
+        n = uv.shape[0]
+        m = jnp.mean(self.volume.data, axis=(0, 1, 2)) if hasattr(self.volume, "data") \
+            else self.volume.eval(jnp.zeros((1, 3)), 3)[0]
+        v3 = jnp.broadcast_to(jnp.atleast_1d(m), (n, 3)) if m.ndim == 0 or m.shape[-1] != 3 \
+            else jnp.broadcast_to(m, (n, 3))
+        return _to_channels(v3, n_channels, wavelengths, self.emissive)
+
+    def mean(self):
+        if hasattr(self.volume, "data"):
+            return jnp.mean(self.volume.data)
+        return self.volume.max()
+
+
+@struct.dataclass
+class MeshAttributeTexture:
+    """Per-vertex mesh attribute interpolated at the hit's barycentrics
+    (reference: src/textures/mesh_attribute.cpp).  values3 holds the
+    attribute pre-gathered per (triangle, corner) for the owning mesh;
+    prim_offset maps global prim indices to the mesh's local triangle table.
+    Built by the loader after the geometry compile."""
+
+    values3: jnp.ndarray    # [F, 3, C]
+    prim_offset: int = struct.field(pytree_node=False, default=0)
+    name: str = struct.field(pytree_node=False, default="")
+
+    def eval_si(self, si, wavelengths, n_channels):
+        F = self.values3.shape[0]
+        lp = jnp.clip(si.prim_index - self.prim_offset, 0, max(F - 1, 0))
+        rows = self.values3[lp]                      # [N, 3, C]
+        b1 = si.prim_uv[..., 0:1]
+        b2 = si.prim_uv[..., 1:2]
+        v = rows[:, 0] * (1.0 - b1 - b2) + rows[:, 1] * b1 + rows[:, 2] * b2
+        if v.shape[-1] == 1:
+            v = jnp.broadcast_to(v, v.shape[:-1] + (3,))
+        return _to_channels(v[..., :3], n_channels, wavelengths, False)
+
+    def eval(self, uv, wavelengths, n_channels):
+        n = uv.shape[0]
+        m = jnp.mean(self.values3.reshape(-1, self.values3.shape[-1]), axis=0)
+        if m.shape[-1] == 1:
+            m = jnp.broadcast_to(m, (3,))
+        return _to_channels(jnp.broadcast_to(m[:3], (n, 3)), n_channels, wavelengths, False)
+
+    def mean(self):
+        return jnp.mean(self.values3)

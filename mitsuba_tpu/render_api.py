@@ -145,7 +145,7 @@ def render_lanes(scene, seed, lane0, n, pass_base, spp_pass, spp_total, sensor_i
     # NaN/negative splat guard (reference: imageblock.cpp:122-126 warn flags)
     from .utils.observe import warn_invalid
 
-    L, inv_stats = warn_invalid(L, active)
+    L, inv_stats = warn_invalid(L, active, polarized=scene.polarized and L.ndim == 3)
     aux = dict(aux)
     aux.update(inv_stats)
     aux["film_jitter"] = jitter
@@ -288,19 +288,28 @@ def render_1(scene, params=None, sensor=0, seed=0, spp=None):
     return jnp.mean(L, axis=0)
 
 
-def render_test(scene, params=None, seed=0, spp=None, sensor_count=1):
+def render_test(scene, params=None, sensor=0, seed=0, spp=None, sensor_count=1):
     """Multi-view batch render: split a wide film into sensor_count sub-views
     of width film.height and average each (fork addition; reference:
-    mi.render_test, common.py:198-302)."""
+    mi.render_test, common.py:198-302).  Unpolarized variants return
+    [sensor_count, C]; polarized return [sensor_count, 4, C] Stokes —
+    matching render_1's per-view semantics."""
     if params is not None and hasattr(params, "scene"):
         scene = params.scene
     film = scene.film
     spp = spp or scene.spp
-    L, wavelengths, wl_pdf, _ = _render_pass(scene, jnp.uint32(seed), 0, spp, spp, 0)
-    c = L.shape[-1]
-    img = L.reshape(film.crop_h, film.crop_w, spp, c)
+    if getattr(scene.integrator, "is_prb", False):
+        L = _prb_pass_jit(scene, jnp.uint32(seed), 0, spp, spp, sensor)
+    else:
+        L, wavelengths, wl_pdf, _ = _render_pass(scene, jnp.uint32(seed), 0, spp, spp, sensor)
     sub_w = film.width // sensor_count
-    img = img.reshape(film.height, sensor_count, sub_w, spp, c)
+    if scene.polarized:
+        c = L.shape[-2]
+        img = L.reshape(film.height, sensor_count, sub_w, spp, c, 4)
+        out = jnp.mean(img, axis=(0, 2, 3))            # [sensor_count, C, 4]
+        return jnp.swapaxes(out, -1, -2)               # [sensor_count, 4, C]
+    c = L.shape[-1]
+    img = L.reshape(film.height, sensor_count, sub_w, spp, c)
     return jnp.mean(img, axis=(0, 2, 3))  # [sensor_count, C]
 
 

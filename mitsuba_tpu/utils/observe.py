@@ -19,13 +19,20 @@ import jax.numpy as jnp
 logger = logging.getLogger("mitsuba_tpu")
 
 
-def warn_invalid(L, active=None):
+def warn_invalid(L, active=None, polarized=False):
     """Sanitize per-lane radiance before film accumulation (the reference's
     ImageBlock warn_negative/warn_invalid, imageblock.cpp:122-126): NaN/inf
     splats are dropped, negative values clamped; returns (L_clean, stats)
-    where stats = {'n_invalid': [], 'n_negative': []} int32 counters."""
+    where stats = {'n_invalid': [], 'n_negative': []} int32 counters.
+
+    polarized: L is [N, C, 4] Stokes — Q/U/V (trailing components 1:) are
+    legitimately negative, so the negativity clamp/counter applies only to
+    the intensity component I."""
     bad = ~jnp.isfinite(L)
     neg = L < 0.0
+    if polarized:
+        stokes_i = jnp.arange(L.shape[-1]) == 0
+        neg = neg & stokes_i
     if active is not None:
         act = active
         while act.ndim < L.ndim:
@@ -35,7 +42,7 @@ def warn_invalid(L, active=None):
     n_invalid = jnp.sum(jnp.any(bad, axis=tuple(range(1, L.ndim))).astype(jnp.int32))
     n_negative = jnp.sum(jnp.any(neg & ~bad, axis=tuple(range(1, L.ndim))).astype(jnp.int32))
     L = jnp.where(bad, 0.0, L)
-    L = jnp.maximum(L, 0.0)
+    L = jnp.where(neg, 0.0, L)
     return L, {"n_invalid": n_invalid, "n_negative": n_negative}
 
 

@@ -1,0 +1,127 @@
+"""Curve shapes (reference: src/shapes/{bsplinecurve,linearcurve}.cpp) —
+tessellated into smooth-shaded tubes at load time — and the merge shape
+(reference: src/shapes/merge.cpp) flattening."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import mitsuba_tpu as mi
+from mitsuba_tpu.render.shapes import make_curve_tube, _bspline_resample
+
+
+@pytest.fixture(autouse=True)
+def _rgb():
+    mi.set_variant("rgb")
+    yield
+
+
+def test_tube_geometry_straight_cylinder():
+    """A straight 2-point linear curve tessellates to a cylinder: all verts
+    at distance r from the axis, normals radial."""
+    c = np.array([[0, 0, 0, 0.25], [0, 0, 2, 0.25]], np.float32)
+    m = make_curve_tube([c], kind="linear", phi_res=12)
+    V, N = m["vertices"], m["normals"]
+    rad = np.linalg.norm(V[:, :2], axis=-1)
+    np.testing.assert_allclose(rad, 0.25, atol=1e-5)
+    # normals purely radial (z component 0) and unit
+    np.testing.assert_allclose(N[:, 2], 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.linalg.norm(N, axis=-1), 1.0, atol=1e-5)
+    assert m["faces"].shape == (2 * 12, 3)
+
+
+def test_bspline_resample_smooth():
+    """B-spline of a collinear control polygon stays on the line; radius
+    interpolates monotonically."""
+    pts = np.stack([np.zeros(8), np.zeros(8), np.linspace(0, 7, 8)], -1)
+    r = np.linspace(0.1, 0.3, 8)
+    p, rr = _bspline_resample(pts, r, subdiv=5)
+    np.testing.assert_allclose(p[:, :2], 0.0, atol=1e-6)
+    assert np.all(np.diff(p[:, 2]) > 0)
+    assert np.all(np.diff(rr) > -1e-7)
+    assert rr.min() >= 0.1 - 1e-5 and rr.max() <= 0.3 + 1e-5
+
+
+def test_linearcurve_renders_and_shadows():
+    """A thick fiber across the view blocks an emissive backdrop."""
+    d = {
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 2},
+        "fiber": {
+            "type": "linearcurve",
+            "control_points": [[-2, 0, 0, 0.3], [2, 0, 0, 0.3]],
+            "bsdf": {"type": "diffuse", "reflectance": [0.8, 0.1, 0.1]},
+        },
+        "backdrop": {
+            "type": "rectangle",
+            "to_world": [{"type": "scale", "value": 5.0},
+                         {"type": "translate", "value": [0, 0, -2]}],
+            "emitter": {"type": "area", "radiance": 1.0},
+        },
+        "fill": {"type": "point", "position": [0, 0, 3], "intensity": 3.0},
+        "sensor": {
+            "type": "perspective", "fov": 45,
+            "to_world": {"type": "lookat", "origin": [0, 0, 4],
+                          "target": [0, 0, 0], "up": [0, 1, 0]},
+            "film": {"type": "hdrfilm", "width": 48, "height": 48},
+        },
+    }
+    img = np.asarray(mi.render(mi.load_dict(d), spp=16, seed=0))
+    assert np.isfinite(img).all()
+    mid = img[22:26, :, :]          # horizontal band through the fiber
+    edge = img[2:6, :, :]           # above the fiber: pure backdrop
+    assert edge[..., 2].mean() > 0.9        # backdrop white
+    assert mid[..., 2].mean() < 0.4 * edge[..., 2].mean()  # fiber blocks blue
+    assert mid[..., 0].mean() > 1.5 * mid[..., 2].mean()    # fiber is red
+
+
+def test_bsplinecurve_renders():
+    d = {
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 2},
+        "hair": {
+            "type": "bsplinecurve",
+            "control_points": [[-2, -1, 0, 0.2], [-1, 1, 0, 0.2],
+                                [1, -1, 0, 0.2], [2, 1, 0, 0.2]],
+            "bsdf": {"type": "diffuse", "reflectance": [0.2, 0.8, 0.2]},
+        },
+        "light": {"type": "constant", "radiance": 1.0},
+        "sensor": {
+            "type": "perspective", "fov": 60,
+            "to_world": {"type": "lookat", "origin": [0, 0, 4],
+                          "target": [0, 0, 0], "up": [0, 1, 0]},
+            "film": {"type": "hdrfilm", "width": 32, "height": 32},
+        },
+    }
+    img = np.asarray(mi.render(mi.load_dict(d), spp=16, seed=0))
+    assert np.isfinite(img).all()
+    green_frac = (img[..., 1] > 1.3 * img[..., 2]).mean()
+    assert 0.01 < green_frac < 0.5, green_frac
+
+
+def test_merge_flattening():
+    """Shapes nested in a merge node render identically to top-level ones."""
+    s1 = {"type": "sphere", "center": [-0.7, 0, 0], "radius": 0.4,
+          "bsdf": {"type": "diffuse", "reflectance": [0.8, 0.2, 0.2]}}
+    s2 = {"type": "cube",
+          "to_world": [{"type": "scale", "value": 0.3},
+                       {"type": "translate", "value": [0.7, 0, 0]}],
+          "bsdf": {"type": "diffuse", "reflectance": [0.2, 0.2, 0.8]}}
+    base = {
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 2},
+        "light": {"type": "constant", "radiance": 1.0},
+        "sensor": {
+            "type": "perspective", "fov": 60,
+            "to_world": {"type": "lookat", "origin": [0, 0, 4],
+                          "target": [0, 0, 0], "up": [0, 1, 0]},
+            "film": {"type": "hdrfilm", "width": 32, "height": 32},
+        },
+    }
+    merged = dict(base)
+    merged["grp"] = {"type": "merge", "a": s1, "b": s2}
+    plain = dict(base)
+    plain["a"] = s1
+    plain["b"] = s2
+    img_m = np.asarray(mi.render(mi.load_dict(merged), spp=8, seed=0))
+    img_p = np.asarray(mi.render(mi.load_dict(plain), spp=8, seed=0))
+    np.testing.assert_array_equal(img_m, img_p)
