@@ -34,3 +34,5 @@ from .utils import io as util  # noqa: E402  (mi.util.write_bitmap parity)
 from .utils import polvis, tonemap  # noqa: E402
 from . import chi2  # noqa: E402
 from .xml import dict_to_xml, load_xml_dict  # noqa: E402
+from .utils.denoise import Denoiser, denoise  # noqa: E402
+OptixDenoiser = Denoiser  # reference-name alias (optixdenoiser.h wrapper)

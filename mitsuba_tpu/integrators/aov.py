@@ -17,6 +17,8 @@ class AOVIntegrator:
     standard film (full multi-channel films come with the film AOV layout)."""
 
     aovs: str = struct.field(pytree_node=False, default="dd.y:depth")
+    # normals/positions are signed: film must not negativity-clamp them
+    signed_output = True
 
     def _channels(self):
         out = []
@@ -41,6 +43,13 @@ class AOVIntegrator:
                 values.append(jnp.where(valid[..., None], si.p, 0.0))
             elif kind == "uv":
                 values.append(jnp.where(valid[..., None], si.uv, 0.0))
+            elif kind == "albedo":
+                # diffuse reflectance = eval(wo=+n) * pi (reference:
+                # src/render/bsdf.cpp:47-52 eval_diffuse_reflectance default,
+                # aov.cpp:139 albedo channel)
+                wo_up = jnp.zeros_like(si.p).at[..., 2].set(1.0)
+                alb, _ = scene.bsdf_eval_pdf(si, wo_up, wavelengths, valid)
+                values.append(jnp.where(valid[..., None], alb * jnp.pi, 0.0))
             elif kind in ("shape_index", "prim_index"):
                 idx = getattr(si, kind)
                 values.append(idx.astype(jnp.float32)[..., None])

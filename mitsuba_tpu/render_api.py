@@ -145,7 +145,13 @@ def render_lanes(scene, seed, lane0, n, pass_base, spp_pass, spp_total, sensor_i
     # NaN/negative splat guard (reference: imageblock.cpp:122-126 warn flags)
     from .utils.observe import warn_invalid
 
-    L, inv_stats = warn_invalid(L, active, polarized=scene.polarized and L.ndim == 3)
+    L, inv_stats = warn_invalid(
+        L, active,
+        polarized=scene.polarized and L.ndim == 3,
+        # signed integrator outputs (AOV normals/positions) must not be
+        # negativity-clamped (imageblock warn_negative is radiance-only)
+        clamp_negative=not getattr(scene.integrator, "signed_output", False),
+    )
     aux = dict(aux)
     aux.update(inv_stats)
     aux["film_jitter"] = jitter

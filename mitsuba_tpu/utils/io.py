@@ -164,6 +164,158 @@ def write_png(path, image, gamma=2.2):
     Image.fromarray(x8).save(path)
 
 
+def read_pfm(path):
+    """Portable float map reader (reference: src/core/bitmap.cpp read_pfm)."""
+    with open(path, "rb") as f:
+        magic = f.readline().strip()
+        color = magic == b"PF"
+        if magic not in (b"PF", b"Pf"):
+            raise ValueError(f"{path}: not a PFM file")
+        w, h = (int(x) for x in f.readline().split())
+        scale = float(f.readline())
+        data = np.frombuffer(
+            f.read(), "<f4" if scale < 0 else ">f4", w * h * (3 if color else 1)
+        )
+    img = data.reshape(h, w, 3) if color else data.reshape(h, w, 1)
+    return img[::-1].astype(np.float32) * (abs(scale) if abs(scale) != 1.0 else 1.0)
+
+
+def write_jpg(path, image, gamma=2.2, quality=95):
+    """8-bit JPEG via PIL (reference: bitmap.cpp write_jpeg)."""
+    from PIL import Image
+
+    img = np.asarray(image)
+    x8 = (np.clip(img, 0.0, 1.0) ** (1.0 / gamma) * 255).astype(np.uint8)
+    if x8.ndim == 3 and x8.shape[-1] == 1:
+        x8 = x8[..., 0]
+    Image.fromarray(x8).convert("RGB").save(path, quality=quality)
+
+
+def read_ldr(path, gamma=2.2):
+    """PNG/JPEG/BMP/TGA reader via PIL, gamma-expanded to linear float32
+    (reference: bitmap.cpp read_png/read_jpeg + srgb-to-linear convert)."""
+    from PIL import Image
+
+    arr = np.asarray(Image.open(path), np.float32) / 255.0
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    return arr**gamma
+
+
+# ---------------------------------------------------------------------------
+# Radiance RGBE (.hdr)  (reference: src/core/bitmap.cpp read_rgbe/write_rgbe)
+# ---------------------------------------------------------------------------
+
+def write_rgbe(path, image):
+    """Radiance .hdr writer, flat (non-RLE) scanlines — universally read."""
+    img = np.asarray(image, np.float32)
+    if img.ndim == 2:
+        img = img[..., None]
+    if img.shape[-1] == 1:
+        img = np.repeat(img, 3, axis=-1)
+    h, w, _ = img.shape
+    maxc = img.max(axis=-1)
+    e = np.zeros((h, w), np.int32)
+    nz = maxc >= 1e-32
+    # frexp: maxc = m * 2^e with m in [0.5, 1)
+    m, e_ = np.frexp(np.where(nz, maxc, 1.0))
+    scale = np.where(nz, m * 256.0 / np.maximum(maxc, 1e-32), 0.0)
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    rgbe[..., :3] = np.clip(img * scale[..., None], 0, 255).astype(np.uint8)
+    rgbe[..., 3] = np.where(nz, e_ + 128, 0).astype(np.uint8)
+    with open(path, "wb") as f:
+        f.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
+        f.write(f"-Y {h} +X {w}\n".encode())
+        f.write(rgbe.tobytes())
+
+
+def read_rgbe(path):
+    """Radiance .hdr reader (flat + adaptive-RLE scanlines)."""
+    with open(path, "rb") as f:
+        if not f.readline().startswith(b"#?"):
+            raise ValueError(f"{path}: not a Radiance HDR file")
+        while True:
+            line = f.readline()
+            if line in (b"\n", b"\r\n", b""):
+                break
+        dims = f.readline().split()
+        if dims[0] != b"-Y" or dims[2] != b"+X":
+            raise ValueError(f"{path}: unsupported HDR orientation")
+        h, w = int(dims[1]), int(dims[3])
+        data = np.frombuffer(f.read(), np.uint8)
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    pos = 0
+    for y in range(h):
+        if (
+            pos + 4 <= data.size
+            and data[pos] == 2 and data[pos + 1] == 2
+            and (int(data[pos + 2]) << 8 | int(data[pos + 3])) == w
+        ):
+            # adaptive RLE: 4 component planes, each run-length coded
+            pos += 4
+            for c in range(4):
+                x = 0
+                while x < w:
+                    n = int(data[pos]); pos += 1
+                    if n > 128:  # run
+                        rgbe[y, x : x + n - 128, c] = data[pos]
+                        pos += 1
+                        x += n - 128
+                    else:  # literal
+                        rgbe[y, x : x + n, c] = data[pos : pos + n]
+                        pos += n
+                        x += n
+        else:
+            row = data[pos : pos + 4 * w].reshape(w, 4)
+            rgbe[y] = row
+            pos += 4 * w
+    e = rgbe[..., 3].astype(np.int32)
+    scale = np.where(e > 0, np.ldexp(1.0, e - 136), 0.0)
+    return (rgbe[..., :3].astype(np.float32) + 0.5) * scale[..., None] * np.where(
+        e > 0, 1.0, 0.0
+    )[..., None]
+
+
+# ---------------------------------------------------------------------------
+# Struct conversion (reference: src/core/struct.cpp StructConverter —
+# the pixel/component-format + gamma conversion engine behind Bitmap::convert)
+# ---------------------------------------------------------------------------
+
+_COMPONENT_RANGES = {
+    np.uint8: 255.0, np.uint16: 65535.0, np.uint32: 4294967295.0,
+}
+
+
+def convert(image, component_format=np.float32, srgb_gamma=None, channels=None):
+    """Bitmap::convert analog: select channels, convert component format
+    (normalizing integer ranges), and apply/remove sRGB gamma.
+
+    `srgb_gamma`: None = keep linear; "to_srgb" applies the sRGB OETF before
+    integer quantization; "to_linear" decodes sRGB-encoded input.
+    (reference: src/core/bitmap.cpp:602-706 convert + struct.cpp converter)."""
+    img = np.asarray(image)
+    if img.dtype.type in _COMPONENT_RANGES:
+        img = img.astype(np.float32) / _COMPONENT_RANGES[img.dtype.type]
+    else:
+        img = img.astype(np.float32)
+    if channels is not None:
+        img = img[..., list(channels)]
+    if srgb_gamma == "to_linear":
+        img = np.where(
+            img <= 0.04045, img / 12.92, ((img + 0.055) / 1.055) ** 2.4
+        )
+    elif srgb_gamma == "to_srgb":
+        img = np.where(
+            img <= 0.0031308, img * 12.92, 1.055 * np.maximum(img, 0.0) ** (1 / 2.4) - 0.055
+        )
+    out_t = np.dtype(component_format).type
+    if out_t in _COMPONENT_RANGES:
+        return np.clip(
+            img * _COMPONENT_RANGES[out_t] + 0.5, 0, _COMPONENT_RANGES[out_t]
+        ).astype(out_t)
+    return img.astype(out_t)
+
+
 def write_bitmap(path, image, channel_names=None):
     """Format-dispatching writer (reference: mi.util.write_bitmap, util.py:738)."""
     p = str(path)
@@ -171,9 +323,29 @@ def write_bitmap(path, image, channel_names=None):
         write_exr(p, image, channel_names)
     elif p.endswith(".pfm"):
         write_pfm(p, image)
-    elif p.endswith(".png") or p.endswith(".jpg"):
+    elif p.endswith(".png"):
         write_png(p, image)
+    elif p.endswith(".jpg") or p.endswith(".jpeg"):
+        write_jpg(p, image)
+    elif p.endswith(".hdr") or p.endswith(".rgbe"):
+        write_rgbe(p, image)
     elif p.endswith(".npy"):
         np.save(p, np.asarray(image))
     else:
         raise ValueError(f"unknown image format: {p}")
+
+
+def read_bitmap(path):
+    """Format-dispatching reader returning linear float32 [H, W, C]
+    (reference: Bitmap(path) constructor dispatch, bitmap.cpp:129-197)."""
+    p = str(path)
+    if p.endswith(".exr"):
+        img, _ = read_exr(p)
+        return img
+    if p.endswith(".pfm"):
+        return read_pfm(p)
+    if p.endswith(".hdr") or p.endswith(".rgbe"):
+        return read_rgbe(p)
+    if p.endswith(".npy"):
+        return np.load(p)
+    return read_ldr(p)

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 logger = logging.getLogger("mitsuba_tpu")
 
 
-def warn_invalid(L, active=None, polarized=False):
+def warn_invalid(L, active=None, polarized=False, clamp_negative=True):
     """Sanitize per-lane radiance before film accumulation (the reference's
     ImageBlock warn_negative/warn_invalid, imageblock.cpp:122-126): NaN/inf
     splats are dropped, negative values clamped; returns (L_clean, stats)
@@ -27,10 +27,13 @@ def warn_invalid(L, active=None, polarized=False):
 
     polarized: L is [N, C, 4] Stokes — Q/U/V (trailing components 1:) are
     legitimately negative, so the negativity clamp/counter applies only to
-    the intensity component I."""
+    the intensity component I.
+
+    clamp_negative=False: signed outputs (AOV normals/positions/depth deltas)
+    pass through — only non-finite lanes are dropped."""
     bad = ~jnp.isfinite(L)
-    neg = L < 0.0
-    if polarized:
+    neg = (L < 0.0) if clamp_negative else jnp.zeros_like(L, dtype=bool)
+    if polarized and clamp_negative:
         stokes_i = jnp.arange(L.shape[-1]) == 0
         neg = neg & stokes_i
     if active is not None:
