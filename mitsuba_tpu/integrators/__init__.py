@@ -24,11 +24,17 @@ def make_integrator(spec):
     if t == "path":
         from .path import PathIntegrator
 
-        return PathIntegrator(max_depth=max_depth, rr_depth=rr_depth, hide_emitters=hide)
+        return PathIntegrator(
+            max_depth=max_depth, rr_depth=rr_depth, hide_emitters=hide,
+            defer_nee=bool(spec.get("defer_nee", True)),
+        )
     if t in ("prb", "prb_basic"):
         from ..ad.prb import PRBIntegrator
 
-        return PRBIntegrator(max_depth=max_depth, rr_depth=rr_depth, hide_emitters=hide)
+        return PRBIntegrator(
+            max_depth=max_depth, rr_depth=rr_depth, hide_emitters=hide,
+            defer_nee=bool(spec.get("defer_nee", True)),
+        )
     if t == "direct":
         from .direct import DirectIntegrator
 

@@ -29,11 +29,17 @@ class PathIntegrator:
     max_depth: int = struct.field(pytree_node=False, default=8)
     rr_depth: int = struct.field(pytree_node=False, default=5)
     hide_emitters: bool = struct.field(pytree_node=False, default=False)
+    # deferred NEE: bounce-k shadow rays are traced in bounce-k+1's fused
+    # 2N-ray intersect launch (halves kernel launches + dependency depth).
+    # Auto-disabled on BVH geometry, whose any-hit shadow kernel is cheaper
+    # than a closest-hit batch.
+    defer_nee: bool = struct.field(pytree_node=False, default=True)
 
     def sample(self, scene, rng, ray, wavelengths, active):
         n = ray.o.shape[0]
         nc = scene.n_channels
         max_depth = self.max_depth if self.max_depth > 0 else 1024
+        defer = self.defer_nee and not scene.geometry.has_bvh
 
         L0 = jnp.zeros((n, nc), jnp.float32)
         beta0 = jnp.ones((n, nc), jnp.float32)
@@ -51,11 +57,30 @@ class PathIntegrator:
             prev_delta=jnp.ones((n,), bool),
             prev_p=ray.o,
         )
+        if defer:
+            state.update(
+                pend_o=ray.o,
+                pend_d=ray.d,
+                pend_maxt=jnp.zeros((n,), jnp.float32),
+                pend_active=jnp.zeros((n,), bool),
+                pend_contrib=jnp.zeros((n, nc), jnp.float32),
+            )
 
         def body(s):
             rng = s["rng"]
             cur_ray = Ray.make(s["ray_o"], s["ray_d"])
-            si = scene.ray_intersect(cur_ray, s["active"])
+            if defer:
+                si, occluded = scene.ray_intersect_and_test(
+                    cur_ray,
+                    Ray(o=s["pend_o"], d=s["pend_d"], maxt=s["pend_maxt"]),
+                    s["active"], s["pend_active"],
+                )
+                L_pend = jnp.where(
+                    (s["pend_active"] & ~occluded)[..., None], s["pend_contrib"], 0.0
+                )
+                s = dict(s, L=s["L"] + L_pend)
+            else:
+                si = scene.ray_intersect(cur_ray, s["active"])
             first = s["depth"] == 0
 
             # ---- emitter hits / escaped rays, MIS vs previous BSDF pdf ----
@@ -91,16 +116,29 @@ class PathIntegrator:
 
             ds, em_weight = scene.sample_emitter_direction(
                 si.p, u0, jnp.stack([u2a_x, u2a_y], axis=-1), wavelengths,
-                active_next, test_visibility=True, ref_n=si.n,
+                active_next, test_visibility=not defer, ref_n=si.n,
             )
             wo_local_em = si.to_local(ds.d)
             bsdf_val, bsdf_pdf = scene.bsdf_eval_pdf(
                 si, wo_local_em, wavelengths, active_next
             )
             w_nee = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, bsdf_pdf))
-            L = L + jnp.where(
+            contrib = jnp.where(
                 active_next[..., None], s["beta"] * bsdf_val * em_weight * w_nee[..., None], 0.0
             )
+            if defer:
+                # enqueue: the shadow ray (same construction as
+                # scene.sample_emitter_direction's test_visibility branch)
+                # rides the next bounce's fused intersect launch
+                sray = spawn_ray(si.p, si.n, ds.d, maxt=ds.dist * (1.0 - 1e-3))
+                pend = dict(
+                    pend_o=sray.o, pend_d=sray.d, pend_maxt=sray.maxt,
+                    pend_active=active_next & (ds.pdf > 0)
+                    & jnp.any(contrib != 0.0, axis=-1),
+                    pend_contrib=contrib,
+                )
+            else:
+                L = L + contrib
 
             # ---- BSDF sampling ----
             bs, bsdf_weight = scene.bsdf_sample(
@@ -131,7 +169,7 @@ class PathIntegrator:
                 active_next.astype(jnp.float32)
             )
 
-            return dict(
+            out = dict(
                 depth=s["depth"] + 1,
                 n_rays=n_rays,
                 L=L,
@@ -145,6 +183,9 @@ class PathIntegrator:
                 prev_delta=bs.delta,
                 prev_p=si.p,
             )
+            if defer:
+                out.update(pend)
+            return out
 
         # lax.scan with a static trip count (not while_loop): reverse-mode
         # differentiable for tape-AD paths; PRB integrators bypass the tape
@@ -153,7 +194,17 @@ class PathIntegrator:
         out, _ = jax.lax.scan(
             lambda s, _: (body(s), None), state, None, length=min(max_depth, 1024)
         )
-        return out["L"], {"n_rays": out["n_rays"]}
+        L = out["L"]
+        if defer:
+            # flush the final bounce's pending shadow rays
+            occluded = scene.ray_test(
+                Ray(o=out["pend_o"], d=out["pend_d"], maxt=out["pend_maxt"]),
+                out["pend_active"],
+            )
+            L = L + jnp.where(
+                (out["pend_active"] & ~occluded)[..., None], out["pend_contrib"], 0.0
+            )
+        return L, {"n_rays": out["n_rays"]}
 
 
 def _next2(rng):

@@ -60,6 +60,28 @@ class Scene:
     def ray_test(self, ray: Ray, active=None):
         return shapes_mod.ray_test(self.geometry, ray, active)
 
+    def ray_intersect_and_test(self, ray: Ray, sray: Ray, active, s_active):
+        """Fused closest-hit + occlusion query: ONE kernel launch over the
+        concatenated 2N-ray batch (deferred-NEE path: the bounce-k shadow ray
+        rides bounce-k+1's intersect call).  Only profitable where ray_test
+        has no cheaper any-hit kernel (the non-BVH paths, shapes.py:581-583
+        — ray_test there IS a closest-hit query)."""
+        n = ray.o.shape[0]
+        batch = Ray(
+            o=jnp.concatenate([ray.o, sray.o]),
+            d=jnp.concatenate([ray.d, sray.d]),
+            maxt=jnp.concatenate([ray.maxt, sray.maxt]),
+        )
+        pi = shapes_mod.ray_intersect_preliminary(
+            self.geometry, batch, jnp.concatenate([active, s_active])
+        )
+        import jax as _jax
+
+        pi_hit = _jax.tree_util.tree_map(lambda x: x[:n], pi)
+        si = shapes_mod.compute_surface_interaction(self.geometry, ray, pi_hit)
+        occluded = pi.is_valid[n:] & s_active
+        return si, occluded
+
     # -- emitter sampling (reference: scene.cpp:227-353) --------------------
     @property
     def n_emitters(self):
