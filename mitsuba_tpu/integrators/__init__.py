@@ -27,6 +27,7 @@ def make_integrator(spec):
         return PathIntegrator(
             max_depth=max_depth, rr_depth=rr_depth, hide_emitters=hide,
             defer_nee=bool(spec.get("defer_nee", True)),
+            regenerate=bool(spec.get("regenerate", False)),
         )
     if t in ("prb", "prb_basic"):
         from ..ad.prb import PRBIntegrator

@@ -34,6 +34,9 @@ class PathIntegrator:
     # Auto-disabled on BVH geometry, whose any-hit shadow kernel is cheaper
     # than a closest-hit batch.
     defer_nee: bool = struct.field(pytree_node=False, default=True)
+    # path regeneration (see path_regen_render below): dead lanes restart
+    # on the pixel's next sample instead of idling to max_depth
+    regenerate: bool = struct.field(pytree_node=False, default=False)
 
     def sample(self, scene, rng, ray, wavelengths, active):
         n = ray.o.shape[0]
@@ -210,3 +213,209 @@ class PathIntegrator:
 def _next2(rng):
     a, b, rng = rng.next_2d()
     return a, b, rng
+
+
+# ---------------------------------------------------------------------------
+# Path regeneration (wavefront compaction without dynamic shapes)
+# ---------------------------------------------------------------------------
+#
+# The standard wavefront drags every lane through max_depth loop iterations
+# with masks; in deep scenes (max_depth 32+) most lanes die early and late
+# iterations compute full-width math for a few survivors (SURVEY §5
+# long-context analog (a): compaction).  XLA cannot shrink arrays, so the
+# TPU-native alternative is *path regeneration* (Novak et al. 2010): one lane
+# per pixel, and the moment a lane's path terminates it immediately starts
+# the pixel's next sample.  Lanes stay ~100% occupied; total wavefront
+# iterations drop from spp * max_depth to ~spp * E[path length].
+#
+# RNG streams are keyed by (pixel, sample) exactly like the standard pass, so
+# every individual sample's contribution is bitwise the sample it would have
+# produced in the plain wavefront — regeneration changes only the schedule.
+
+def path_regen_render(integrator, scene, seed, spp, sensor_idx):
+    """Forward-only regenerative wavefront for PathIntegrator-family
+    integrators.  Returns (L_px [n_pixels, C] sample-summed radiance, aux)."""
+    from ..render_api import wavefront_for
+
+    film = scene.film
+    n = film.crop_w * film.crop_h
+    nc = scene.n_channels
+    max_depth = integrator.max_depth if integrator.max_depth > 0 else 1024
+    defer = False  # regeneration keeps immediate NEE (simplest correct form)
+    pix = jnp.arange(n, dtype=jnp.uint32)
+
+    from ..core.rng import RNG
+
+    def _lanes_rng(r):
+        """Broadcast the shared dim counter per-lane: regenerated lanes sit
+        at a fresh dim while continuing lanes are deeper in their streams."""
+        return RNG(
+            r.seed, r.lane, dim=jnp.broadcast_to(r.dim, (n,)),
+            pixel=r.pixel, sidx=r.sidx, lds=r.lds,
+        )
+
+    def _merge_rng(new, old, m):
+        mb = m.astype(bool)
+        kw = {}
+        if old.lds:
+            kw = dict(
+                pixel=jnp.where(mb, new.pixel, old.pixel),
+                sidx=jnp.where(mb, new.sidx, old.sidx),
+                lds=True,
+            )
+        return RNG(
+            old.seed,
+            jnp.where(mb, new.lane, old.lane),
+            dim=jnp.where(mb, jnp.broadcast_to(new.dim, (n,)), old.dim),
+            **kw,
+        )
+
+    rng0, ray0, _, _, _ = wavefront_for(
+        scene, seed, pix, jnp.zeros((n,), jnp.uint32), jnp.uint32(spp), sensor_idx
+    )
+    rng0 = _lanes_rng(rng0)
+
+    state = dict(
+        iters=jnp.asarray(0, jnp.int32),
+        n_rays=jnp.asarray(0.0, jnp.float32),
+        s_next=jnp.zeros((n,), jnp.uint32),
+        depth=jnp.zeros((n,), jnp.int32),
+        L_px=jnp.zeros((n, nc), jnp.float32),
+        L=jnp.zeros((n, nc), jnp.float32),
+        beta=jnp.ones((n, nc), jnp.float32),
+        eta=jnp.ones((n,), jnp.float32),
+        ray_o=ray0.o,
+        ray_d=ray0.d,
+        rng=rng0,
+        active=jnp.zeros((n,), bool),
+        prev_pdf=jnp.ones((n,), jnp.float32),
+        prev_delta=jnp.ones((n,), bool),
+        prev_p=ray0.o,
+    )
+
+    def cond(s):
+        work = s["active"] | (s["s_next"] < jnp.uint32(spp))
+        return jnp.any(work) & (s["iters"] < spp * max_depth + 1)
+
+    def body(s):
+        # ---- regenerate dead lanes with remaining budget ----
+        regen = (~s["active"]) & (s["s_next"] < jnp.uint32(spp))
+        rng_new, ray_new, _, _, _ = wavefront_for(
+            scene, seed, pix, s["s_next"], jnp.uint32(spp), sensor_idx
+        )
+        def sel(a, b):
+            m = regen
+            while m.ndim < a.ndim:
+                m = m[..., None]
+            return jnp.where(m, a, b)
+
+        s = dict(
+            s,
+            # flush the finished path's radiance into the pixel accumulator
+            L_px=s["L_px"] + jnp.where(regen[..., None], s["L"], 0.0),
+            L=sel(jnp.zeros_like(s["L"]), s["L"]),
+            beta=sel(jnp.ones_like(s["beta"]), s["beta"]),
+            eta=sel(jnp.ones_like(s["eta"]), s["eta"]),
+            ray_o=sel(ray_new.o, s["ray_o"]),
+            ray_d=sel(ray_new.d, s["ray_d"]),
+            rng=_merge_rng(rng_new, s["rng"], regen),
+            depth=sel(jnp.zeros_like(s["depth"]), s["depth"]),
+            prev_pdf=sel(jnp.ones_like(s["prev_pdf"]), s["prev_pdf"]),
+            prev_delta=sel(jnp.ones_like(s["prev_delta"]), s["prev_delta"]),
+            prev_p=sel(ray_new.o, s["prev_p"]),
+            active=s["active"] | regen,
+            s_next=jnp.where(regen, s["s_next"] + 1, s["s_next"]),
+        )
+
+        # ---- one bounce (identical math + RNG order to sample()'s body,
+        # with per-lane depth) ----
+        rng = s["rng"]
+        cur_ray = Ray.make(s["ray_o"], s["ray_d"])
+        si = scene.ray_intersect(cur_ray, s["active"])
+        first = s["depth"] == 0
+
+        escaped = s["active"] & ~si.is_valid
+        env_val = scene.eval_environment(s["ray_d"], None)
+        env_pdf = jnp.where(
+            s["prev_delta"], 0.0, scene.pdf_emitter_direction_escaped(s["ray_d"])
+        )
+        w_env = mis_weight(s["prev_pdf"], env_pdf)
+        hide = integrator.hide_emitters & first
+        L = s["L"] + jnp.where(
+            (escaped & ~hide)[..., None], s["beta"] * w_env[..., None] * env_val, 0.0
+        )
+
+        hit_em = s["active"] & si.is_valid
+        em_val = scene.eval_emitter_hit(si, None)
+        em_pdf = jnp.where(
+            s["prev_delta"], 0.0, scene.pdf_emitter_direction_hit(s["prev_p"], si)
+        )
+        w_em = mis_weight(s["prev_pdf"], em_pdf)
+        L = L + jnp.where(
+            (hit_em & ~hide)[..., None], s["beta"] * w_em[..., None] * em_val, 0.0
+        )
+
+        active_next = s["active"] & si.is_valid & (s["depth"] + 1 < max_depth)
+
+        u0, u2a_x, rng = _next2(rng)
+        u2a_y, u_lobe, rng = _next2(rng)
+        u2b_x, u2b_y, rng = _next2(rng)
+        u_rr, _, rng = _next2(rng)
+
+        ds, em_weight = scene.sample_emitter_direction(
+            si.p, u0, jnp.stack([u2a_x, u2a_y], axis=-1), None,
+            active_next, test_visibility=True, ref_n=si.n,
+        )
+        wo_local_em = si.to_local(ds.d)
+        bsdf_val, bsdf_pdf = scene.bsdf_eval_pdf(si, wo_local_em, None, active_next)
+        w_nee = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, bsdf_pdf))
+        L = L + jnp.where(
+            active_next[..., None],
+            s["beta"] * bsdf_val * em_weight * w_nee[..., None], 0.0,
+        )
+
+        bs, bsdf_weight = scene.bsdf_sample(
+            si, u_lobe, jnp.stack([u2b_x, u2b_y], axis=-1), None, active_next
+        )
+        wo_world = si.to_world(bs.wo)
+        new_ray = spawn_ray(si.p, si.n, wo_world)
+        beta = s["beta"] * bsdf_weight
+        eta = s["eta"] * bs.eta
+        alive = active_next & (bs.pdf > 0) & jnp.any(beta > 0, axis=-1)
+
+        beta_max = jnp.max(beta, axis=-1) * eta * eta
+        rr_active = s["depth"] + 1 >= integrator.rr_depth
+        q = jnp.minimum(beta_max, 0.95)
+        rr_continue = u_rr < q
+        beta = jnp.where(
+            (rr_active & alive)[..., None],
+            beta / jnp.maximum(q, 1e-6)[..., None], beta,
+        )
+        alive = alive & (~rr_active | rr_continue)
+
+        n_rays = s["n_rays"] + jnp.sum(s["active"].astype(jnp.float32)) + jnp.sum(
+            active_next.astype(jnp.float32)
+        )
+
+        return dict(
+            s,
+            iters=s["iters"] + 1,
+            n_rays=n_rays,
+            depth=s["depth"] + 1,
+            L=L,
+            beta=beta,
+            eta=eta,
+            ray_o=new_ray.o,
+            ray_d=new_ray.d,
+            rng=rng,
+            active=alive,
+            prev_pdf=bs.pdf,
+            prev_delta=bs.delta,
+            prev_p=si.p,
+        )
+
+    out = jax.lax.while_loop(cond, body, state)
+    L_px = out["L_px"] + jnp.where(out["active"][..., None], 0.0, out["L"])
+    # lanes can only exit the loop inactive, so out["L"] holds the final
+    # path's radiance for every lane; add it unconditionally-but-masked
+    return L_px, {"n_rays": out["n_rays"], "wavefront_iters": out["iters"]}

@@ -40,13 +40,22 @@ def make_wavefront(scene, seed, lane0, n, pass_base, spp_pass, spp_total, sensor
     Returns (rng, ray, wavelengths, wl_pdf, jitter) — `jitter` is the in-pixel
     film offset, needed again at develop() time by the weighted-reconstruction
     filters (mitchell/catmullrom/lanczos)."""
-    film = scene.film
-    sensor = scene.sensors[sensor_idx]
-
     lane_local = jnp.uint32(lane0) + jnp.arange(n, dtype=jnp.uint32)
     pix = lane_local // jnp.uint32(spp_pass)
     s_local = lane_local % jnp.uint32(spp_pass)
-    global_sample = pix * jnp.uint32(spp_total) + jnp.uint32(pass_base) + s_local
+    return wavefront_for(
+        scene, seed, pix, jnp.uint32(pass_base) + s_local, spp_total, sensor_idx
+    )
+
+
+def wavefront_for(scene, seed, pix, sidx, spp_total, sensor_idx):
+    """Per-lane wavefront setup for explicit (pixel, sample-index) pairs —
+    the core of make_wavefront, also used by the path-regeneration driver
+    (lanes restart at their own sample indices mid-loop)."""
+    film = scene.film
+    sensor = scene.sensors[sensor_idx]
+    s_local = sidx
+    global_sample = pix * jnp.uint32(spp_total) + s_local
 
     stype = getattr(scene, "sampler_type", "independent")
     if stype != "independent":
@@ -208,6 +217,14 @@ def render(scene, params=None, sensor=0, seed=0, spp=None, spp_per_pass=None):
             scene.integrator.sppp, scene.integrator.sppi,
         )
 
+    if (
+        getattr(scene.integrator, "regenerate", False)
+        and scene.n_channels != 4
+        and not scene.polarized
+        and not getattr(scene.integrator, "is_prb", False)
+    ):
+        return _render_regen(scene, jnp.uint32(seed), spp, sensor)
+
     use_prb = getattr(scene.integrator, "is_prb", False)
     acc = None
     for p in range(n_passes):
@@ -249,6 +266,26 @@ def render(scene, params=None, sensor=0, seed=0, spp=None, spp_per_pass=None):
         img = develop(film, L, this_spp, jitter=aux.get("film_jitter"))
         acc = img * this_spp if acc is None else acc + img * this_spp
     return acc / spp
+
+
+@partial(jax.jit, static_argnames=("spp", "sensor_idx"))
+def _render_regen_pass(scene, seed, spp, sensor_idx):
+    from .integrators.path import path_regen_render
+
+    scene = scene.replace(geometry=scene.geometry.refresh())
+    L_px, aux = path_regen_render(scene.integrator, scene, seed, spp, sensor_idx)
+    from .utils.observe import warn_invalid
+
+    L_px, inv = warn_invalid(L_px)
+    return L_px, dict(aux, **inv)
+
+
+def _render_regen(scene, seed, spp, sensor_idx):
+    """Regenerative wavefront render (path_regen_render docstring): one lane
+    per pixel, samples summed in-loop; behaves like a single box/FIS pass."""
+    film = scene.film
+    L_px, aux = _render_regen_pass(scene, seed, spp, sensor_idx)
+    return develop(film, L_px, 1) / float(spp)
 
 
 @partial(jax.jit, static_argnames=("spp", "sensor_idx"))

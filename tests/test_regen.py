@@ -1,0 +1,73 @@
+"""Path regeneration — wavefront compaction without dynamic shapes
+(SURVEY §5 long-context analog (a); Novak et al. 2010 path regeneration).
+
+RNG streams are keyed by (pixel, sample) identically to the plain wavefront,
+so the regenerative render must match the standard render almost exactly
+(same per-sample contributions, different accumulation order)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import mitsuba_tpu as mi
+
+
+def _scene(max_depth=8, regenerate=False, w=32, h=32):
+    d = mi.cornell_box()
+    d["sensor"]["film"]["width"] = w
+    d["sensor"]["film"]["height"] = h
+    d["integrator"] = {
+        "type": "path", "max_depth": max_depth, "regenerate": regenerate,
+        # isolate the schedule comparison from the NEE batching optimisation
+        "defer_nee": False,
+    }
+    return mi.load_dict(d)
+
+
+@pytest.fixture(autouse=True)
+def _rgb():
+    mi.set_variant("rgb")
+    yield
+
+
+def test_regen_matches_standard_render():
+    """Same seed => same per-sample contributions => images agree to float
+    accumulation-order tolerance."""
+    spp = 8
+    img_std = np.asarray(mi.render(_scene(max_depth=6), spp=spp, seed=2))
+    img_reg = np.asarray(
+        mi.render(_scene(max_depth=6, regenerate=True), spp=spp, seed=2)
+    )
+    np.testing.assert_allclose(img_reg, img_std, rtol=2e-4, atol=2e-5)
+
+
+def test_regen_fewer_wavefront_iterations():
+    """Deep transport budget: regeneration must finish in far fewer wavefront
+    iterations than the spp * max_depth the masked wavefront always runs."""
+    from mitsuba_tpu.render_api import _render_regen_pass
+
+    spp, max_depth = 16, 32
+    scene = _scene(max_depth=max_depth, regenerate=True)
+    _, aux = _render_regen_pass(scene, jnp.uint32(0), spp, 0)
+    iters = int(aux["wavefront_iters"])
+    standard_iters = spp * max_depth
+    # cbox paths average ~4-6 bounces -> expect >3x fewer iterations
+    assert iters < standard_iters / 3, (iters, standard_iters)
+    assert iters >= spp  # sanity: at least one iteration per sample
+
+
+def test_regen_unbiased_vs_high_spp():
+    """Regenerative estimate converges to the standard estimate."""
+    img_std = np.asarray(mi.render(_scene(max_depth=4), spp=64, seed=5))
+    img_reg = np.asarray(
+        mi.render(_scene(max_depth=4, regenerate=True), spp=64, seed=5)
+    )
+    assert abs(img_reg.mean() - img_std.mean()) < 1e-4
+
+
+def test_regen_spp1_and_odd_spp():
+    for spp in (1, 3):
+        img_std = np.asarray(mi.render(_scene(max_depth=3), spp=spp, seed=7))
+        img_reg = np.asarray(
+            mi.render(_scene(max_depth=3, regenerate=True), spp=spp, seed=7)
+        )
+        np.testing.assert_allclose(img_reg, img_std, rtol=2e-4, atol=2e-5)
