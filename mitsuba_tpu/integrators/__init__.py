@@ -55,6 +55,7 @@ def make_integrator(spec):
             track_steps=int(spec.get("track_steps", 32)),
             nee_crossings=int(spec.get("nee_crossings", 4)),
             nee_steps=int(spec.get("nee_steps", 32)),
+            regenerate=bool(spec.get("regenerate", False)),
         )
     if t == "volpathmis":
         if not bool(spec.get("use_spectral_mis", True)):

@@ -38,6 +38,9 @@ class PathIntegrator:
     # on the pixel's next sample instead of idling to max_depth
     regenerate: bool = struct.field(pytree_node=False, default=False)
 
+    def regen_render(self, scene, seed, spp, sensor_idx):
+        return path_regen_render(self, scene, seed, spp, sensor_idx)
+
     def sample(self, scene, rng, ray, wavelengths, active):
         n = ray.o.shape[0]
         nc = scene.n_channels
@@ -232,6 +235,37 @@ def _next2(rng):
 # every individual sample's contribution is bitwise the sample it would have
 # produced in the plain wavefront — regeneration changes only the schedule.
 
+def lanes_rng(r, n):
+    """Broadcast the shared dim counter per-lane: regenerated lanes sit at a
+    fresh dim while continuing lanes are deeper in their streams."""
+    from ..core.rng import RNG
+
+    return RNG(
+        r.seed, r.lane, dim=jnp.broadcast_to(r.dim, (n,)),
+        pixel=r.pixel, sidx=r.sidx, lds=r.lds,
+    )
+
+
+def merge_rng(new, old, m):
+    """Per-lane RNG select for regeneration (m=True takes the fresh stream)."""
+    from ..core.rng import RNG
+
+    mb = m.astype(bool)
+    kw = {}
+    if old.lds:
+        kw = dict(
+            pixel=jnp.where(mb, new.pixel, old.pixel),
+            sidx=jnp.where(mb, new.sidx, old.sidx),
+            lds=True,
+        )
+    return RNG(
+        old.seed,
+        jnp.where(mb, new.lane, old.lane),
+        dim=jnp.where(mb, jnp.broadcast_to(new.dim, mb.shape), old.dim),
+        **kw,
+    )
+
+
 def path_regen_render(integrator, scene, seed, spp, sensor_idx):
     """Forward-only regenerative wavefront for PathIntegrator-family
     integrators.  Returns (L_px [n_pixels, C] sample-summed radiance, aux)."""
@@ -241,39 +275,13 @@ def path_regen_render(integrator, scene, seed, spp, sensor_idx):
     n = film.crop_w * film.crop_h
     nc = scene.n_channels
     max_depth = integrator.max_depth if integrator.max_depth > 0 else 1024
-    defer = False  # regeneration keeps immediate NEE (simplest correct form)
     pix = jnp.arange(n, dtype=jnp.uint32)
-
-    from ..core.rng import RNG
-
-    def _lanes_rng(r):
-        """Broadcast the shared dim counter per-lane: regenerated lanes sit
-        at a fresh dim while continuing lanes are deeper in their streams."""
-        return RNG(
-            r.seed, r.lane, dim=jnp.broadcast_to(r.dim, (n,)),
-            pixel=r.pixel, sidx=r.sidx, lds=r.lds,
-        )
-
-    def _merge_rng(new, old, m):
-        mb = m.astype(bool)
-        kw = {}
-        if old.lds:
-            kw = dict(
-                pixel=jnp.where(mb, new.pixel, old.pixel),
-                sidx=jnp.where(mb, new.sidx, old.sidx),
-                lds=True,
-            )
-        return RNG(
-            old.seed,
-            jnp.where(mb, new.lane, old.lane),
-            dim=jnp.where(mb, jnp.broadcast_to(new.dim, (n,)), old.dim),
-            **kw,
-        )
+    _merge_rng = merge_rng
 
     rng0, ray0, _, _, _ = wavefront_for(
         scene, seed, pix, jnp.zeros((n,), jnp.uint32), jnp.uint32(spp), sensor_idx
     )
-    rng0 = _lanes_rng(rng0)
+    rng0 = lanes_rng(rng0, n)
 
     state = dict(
         iters=jnp.asarray(0, jnp.int32),

@@ -272,6 +272,10 @@ class VolPathIntegrator:
     track_steps: int = struct.field(pytree_node=False, default=32)
     nee_crossings: int = struct.field(pytree_node=False, default=4)
     nee_steps: int = struct.field(pytree_node=False, default=32)
+    # path regeneration (path.py path_regen_render): terminated lanes restart
+    # on the pixel's next sample — the wavefront-compaction mode for deep
+    # transport budgets (optically thick media, max_depth 32+)
+    regenerate: bool = struct.field(pytree_node=False, default=False)
 
     def sample(self, scene, rng, ray, wavelengths, active):
         n = ray.o.shape[0]
@@ -293,6 +297,7 @@ class VolPathIntegrator:
             ray_o=ray.o,
             ray_d=ray.d,
             medium=jnp.full((n,), scene.camera_medium, jnp.int32),
+            channel=channel,
             rng=rng,
             active=active,
             prev_pdf=jnp.ones((n,), jnp.float32),
@@ -301,188 +306,282 @@ class VolPathIntegrator:
         )
 
         def body(s, _):
-            rng = s["rng"]
-            cur_ray = Ray.make(s["ray_o"], s["ray_d"])
-            si = scene.ray_intersect(cur_ray, s["active"])
-            t_surf = jnp.where(si.is_valid, si.t, jnp.inf)
-
-            # ---- delta-track the segment up to the surface ----
-            reached_end, real, t_real, beta_f, rng = track_segment(
-                scene, s["ray_o"], s["ray_d"], t_surf, s["medium"], channel,
-                rng, s["active"], self.track_steps,
-            )
-            # tracking ratios are per-channel scalars (polarization-preserving)
-            beta = ops.mul_scalar(
-                s["beta"], jnp.where(s["active"][..., None], beta_f, 1.0)
-            )
-
-            surface_event = s["active"] & reached_end & si.is_valid
-            escaped = s["active"] & reached_end & ~si.is_valid
-
-            p_med = s["ray_o"] + t_real[..., None] * s["ray_d"]
-            mei = MediumInteraction.make(
-                jnp.where(real, t_real, jnp.inf), p_med, s["ray_d"], s["medium"]
-            )
-            phase_idx = scene.medium_phase_of(s["medium"])
-
-            # fixed-order outer draws
-            u0, u2a_x, rng = _next2(rng)
-            u2a_y, u_lobe, rng = _next2(rng)
-            u2b_x, u2b_y, rng = _next2(rng)
-            u_rr, _, rng = _next2(rng)
-
-            # ---- emitter hit / escape with MIS vs previous pdf ----
-            L = s["L"]
-            env_val = scene.eval_environment(s["ray_d"], wavelengths)
-            env_pdf = jnp.where(
-                s["prev_delta"], 0.0, scene.pdf_emitter_direction_escaped(s["ray_d"])
-            )
-            w_env = mis_weight(s["prev_pdf"], env_pdf)
-            L = L + ops.where_rad(
-                escaped, ops.emit(beta, env_val * w_env[..., None]), jnp.zeros_like(L)
-            )
-            em_val = scene.eval_emitter_hit(si, wavelengths)
-            em_pdf = jnp.where(
-                s["prev_delta"], 0.0, scene.pdf_emitter_direction_hit(s["prev_p"], si)
-            )
-            w_hit = mis_weight(s["prev_pdf"], em_pdf)
-            L = L + ops.where_rad(
-                surface_event, ops.emit(beta, em_val * w_hit[..., None]), jnp.zeros_like(L)
-            )
-
-            depth_ok = s["depth"] + 1 < max_depth
-            is_null_surf = scene.is_null_bsdf(si)
-            null_cross = surface_event & is_null_surf     # no depth count
-            scatter_surf = surface_event & ~is_null_surf & depth_ok
-            scatter_med = real & depth_ok
-
-            # ---- NEE ----
-            nee_active = scatter_med | scatter_surf
-            ref_p = jnp.where(scatter_med[..., None], p_med, si.p)
-            ds, em_weight = scene.sample_emitter_direction(
-                ref_p, u0, jnp.stack([u2a_x, u2a_y], axis=-1), wavelengths,
-                nee_active, test_visibility=False,
-            )
-            nee_medium = jnp.where(
-                scatter_surf, scene.medium_transition(si, ds.d, s["medium"]),
-                s["medium"],
-            )
-            p_nee = jnp.where(
-                scatter_surf[..., None],
-                si.p + jnp.sign(jnp.sum(si.n * ds.d, axis=-1))[..., None] * 1e-4 * si.n,
-                p_med,
-            )
-            T_nee, rng = estimate_transmittance(
-                scene, p_nee, ds, nee_medium, channel, rng, nee_active,
-                max_crossings=self.nee_crossings, steps_per_segment=self.nee_steps,
-            )
-
-            wo_med = mei.to_local(ds.d)
-            wo_surf = si.to_local(ds.d)
-            if ops.polarized:
-                ph_val, ph_pdf = scene.phase_eval_pdf_pol(
-                    phase_idx, mei, wo_med, wavelengths, scatter_med
-                )
-                b_val, b_pdf = scene.bsdf_eval_pdf_pol(
-                    si, wo_surf, wavelengths, scatter_surf
-                )
-                f_nee = jnp.where(scatter_med[..., None, None, None], ph_val, b_val)
-            else:
-                ph_val, ph_pdf = scene.phase_eval_pdf(
-                    phase_idx, mei, wo_med, wavelengths, scatter_med
-                )
-                b_val, b_pdf = scene.bsdf_eval_pdf(si, wo_surf, wavelengths, scatter_surf)
-                f_nee = jnp.where(scatter_med[..., None], ph_val, b_val)
-            pdf_fwd = jnp.where(scatter_med, ph_pdf, b_pdf)
-            w_nee = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, pdf_fwd))
-            nee_contrib = ops.contrib_nee(
-                beta, f_nee, em_weight * T_nee * w_nee[..., None]
-            )
-            L = L + ops.where_rad(nee_active, nee_contrib, jnp.zeros_like(L))
-
-            # ---- direction sampling ----
-            if ops.polarized:
-                wo_ph, w_ph, pdf_ph = scene.phase_sample_pol(
-                    phase_idx, mei, u_lobe, jnp.stack([u2b_x, u2b_y], axis=-1),
-                    wavelengths, scatter_med,
-                )
-                bs, bw = scene.bsdf_sample_pol(
-                    si, u_lobe, jnp.stack([u2b_x, u2b_y], axis=-1), wavelengths,
-                    scatter_surf,
-                )
-            else:
-                wo_ph, w_ph, pdf_ph = scene.phase_sample(
-                    phase_idx, mei, u_lobe, jnp.stack([u2b_x, u2b_y], axis=-1),
-                    wavelengths, scatter_med,
-                )
-                bs, bw = scene.bsdf_sample(
-                    si, u_lobe, jnp.stack([u2b_x, u2b_y], axis=-1), wavelengths,
-                    scatter_surf,
-                )
-            d_med = mei.to_world(wo_ph)
-            d_surf = si.to_world(bs.wo)
-
-            new_d = jnp.where(
-                scatter_med[..., None], d_med,
-                jnp.where(scatter_surf[..., None], d_surf, s["ray_d"]),
-            )
-            o_surf = spawn_ray(si.p, si.n, new_d).o
-            new_o = jnp.where(
-                scatter_med[..., None], p_med,
-                jnp.where(surface_event[..., None], o_surf, s["ray_o"]),
-            )
-
-            beta = ops.where_beta(scatter_med, ops.apply(beta, w_ph), beta)
-            beta = ops.where_beta(scatter_surf, ops.apply(beta, bw), beta)
-
-            new_medium = jnp.where(
-                null_cross | scatter_surf,
-                scene.medium_transition(si, new_d, s["medium"]),
-                s["medium"],
-            )
-
-            new_depth = s["depth"] + (scatter_med | scatter_surf).astype(jnp.int32)
-            new_prev_pdf = jnp.where(
-                scatter_med, pdf_ph, jnp.where(scatter_surf, bs.pdf, s["prev_pdf"])
-            )
-            new_prev_delta = jnp.where(
-                scatter_med, False, jnp.where(scatter_surf, bs.delta, s["prev_delta"])
-            )
-            new_prev_p = jnp.where(nee_active[..., None], ref_p, s["prev_p"])
-
-            alive = s["active"] & ~escaped
-            alive = alive & ~(scatter_surf & (bs.pdf <= 0))
-            alive = alive & ~(scatter_med & (pdf_ph <= 0))
-            beta_int = ops.intensity_beta(beta)          # [N, C]
-            alive = alive & ~(surface_event & ~is_null_surf & ~depth_ok)
-            alive = alive & ~(real & ~depth_ok)
-            alive = alive & (jnp.max(beta_int, axis=-1) > 0)
-
-            # ---- Russian roulette ----
-            beta_max = jnp.max(beta_int, axis=-1)
-            rr_active = (new_depth >= self.rr_depth) & (scatter_med | scatter_surf)
-            q = jnp.minimum(beta_max, 0.95)
-            rr_continue = u_rr < q
-            beta = ops.where_beta(
-                rr_active & alive,
-                ops.mul_scalar(beta, 1.0 / jnp.maximum(q, 1e-6)[..., None]),
-                beta,
-            )
-            alive = alive & (~rr_active | rr_continue)
-
-            n_rays = s["n_rays"] + jnp.sum(s["active"].astype(jnp.float32)) + jnp.sum(
-                nee_active.astype(jnp.float32)
-            )
-
-            return (
-                dict(
-                    depth=new_depth, n_rays=n_rays, L=L, beta=beta,
-                    ray_o=new_o, ray_d=new_d, medium=new_medium, rng=rng,
-                    active=alive, prev_pdf=new_prev_pdf,
-                    prev_delta=new_prev_delta, prev_p=new_prev_p,
-                ),
-                None,
-            )
+            return self._bounce(scene, ops, wavelengths, max_depth, s), None
 
         out, _ = jax.lax.scan(body, state, None, length=max_segments)
         return out["L"], {"n_rays": out["n_rays"]}
+
+    def _bounce(self, scene, ops, wavelengths, max_depth, s):
+        """One volumetric wavefront step (the scan body of sample(), shared
+        with the regenerative driver below).  `s['channel']` is the per-lane
+        hero channel, regenerated per sample in regen mode."""
+        channel = s["channel"]
+        rng = s["rng"]
+        cur_ray = Ray.make(s["ray_o"], s["ray_d"])
+        si = scene.ray_intersect(cur_ray, s["active"])
+        t_surf = jnp.where(si.is_valid, si.t, jnp.inf)
+
+        # ---- delta-track the segment up to the surface ----
+        reached_end, real, t_real, beta_f, rng = track_segment(
+            scene, s["ray_o"], s["ray_d"], t_surf, s["medium"], channel,
+            rng, s["active"], self.track_steps,
+        )
+        # tracking ratios are per-channel scalars (polarization-preserving)
+        beta = ops.mul_scalar(
+            s["beta"], jnp.where(s["active"][..., None], beta_f, 1.0)
+        )
+
+        surface_event = s["active"] & reached_end & si.is_valid
+        escaped = s["active"] & reached_end & ~si.is_valid
+
+        p_med = s["ray_o"] + t_real[..., None] * s["ray_d"]
+        mei = MediumInteraction.make(
+            jnp.where(real, t_real, jnp.inf), p_med, s["ray_d"], s["medium"]
+        )
+        phase_idx = scene.medium_phase_of(s["medium"])
+
+        # fixed-order outer draws
+        u0, u2a_x, rng = _next2(rng)
+        u2a_y, u_lobe, rng = _next2(rng)
+        u2b_x, u2b_y, rng = _next2(rng)
+        u_rr, _, rng = _next2(rng)
+
+        # ---- emitter hit / escape with MIS vs previous pdf ----
+        L = s["L"]
+        env_val = scene.eval_environment(s["ray_d"], wavelengths)
+        env_pdf = jnp.where(
+            s["prev_delta"], 0.0, scene.pdf_emitter_direction_escaped(s["ray_d"])
+        )
+        w_env = mis_weight(s["prev_pdf"], env_pdf)
+        L = L + ops.where_rad(
+            escaped, ops.emit(beta, env_val * w_env[..., None]), jnp.zeros_like(L)
+        )
+        em_val = scene.eval_emitter_hit(si, wavelengths)
+        em_pdf = jnp.where(
+            s["prev_delta"], 0.0, scene.pdf_emitter_direction_hit(s["prev_p"], si)
+        )
+        w_hit = mis_weight(s["prev_pdf"], em_pdf)
+        L = L + ops.where_rad(
+            surface_event, ops.emit(beta, em_val * w_hit[..., None]), jnp.zeros_like(L)
+        )
+
+        depth_ok = s["depth"] + 1 < max_depth
+        is_null_surf = scene.is_null_bsdf(si)
+        null_cross = surface_event & is_null_surf     # no depth count
+        scatter_surf = surface_event & ~is_null_surf & depth_ok
+        scatter_med = real & depth_ok
+
+        # ---- NEE ----
+        nee_active = scatter_med | scatter_surf
+        ref_p = jnp.where(scatter_med[..., None], p_med, si.p)
+        ds, em_weight = scene.sample_emitter_direction(
+            ref_p, u0, jnp.stack([u2a_x, u2a_y], axis=-1), wavelengths,
+            nee_active, test_visibility=False,
+        )
+        nee_medium = jnp.where(
+            scatter_surf, scene.medium_transition(si, ds.d, s["medium"]),
+            s["medium"],
+        )
+        p_nee = jnp.where(
+            scatter_surf[..., None],
+            si.p + jnp.sign(jnp.sum(si.n * ds.d, axis=-1))[..., None] * 1e-4 * si.n,
+            p_med,
+        )
+        T_nee, rng = estimate_transmittance(
+            scene, p_nee, ds, nee_medium, channel, rng, nee_active,
+            max_crossings=self.nee_crossings, steps_per_segment=self.nee_steps,
+        )
+
+        wo_med = mei.to_local(ds.d)
+        wo_surf = si.to_local(ds.d)
+        if ops.polarized:
+            ph_val, ph_pdf = scene.phase_eval_pdf_pol(
+                phase_idx, mei, wo_med, wavelengths, scatter_med
+            )
+            b_val, b_pdf = scene.bsdf_eval_pdf_pol(
+                si, wo_surf, wavelengths, scatter_surf
+            )
+            f_nee = jnp.where(scatter_med[..., None, None, None], ph_val, b_val)
+        else:
+            ph_val, ph_pdf = scene.phase_eval_pdf(
+                phase_idx, mei, wo_med, wavelengths, scatter_med
+            )
+            b_val, b_pdf = scene.bsdf_eval_pdf(si, wo_surf, wavelengths, scatter_surf)
+            f_nee = jnp.where(scatter_med[..., None], ph_val, b_val)
+        pdf_fwd = jnp.where(scatter_med, ph_pdf, b_pdf)
+        w_nee = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, pdf_fwd))
+        nee_contrib = ops.contrib_nee(
+            beta, f_nee, em_weight * T_nee * w_nee[..., None]
+        )
+        L = L + ops.where_rad(nee_active, nee_contrib, jnp.zeros_like(L))
+
+        # ---- direction sampling ----
+        if ops.polarized:
+            wo_ph, w_ph, pdf_ph = scene.phase_sample_pol(
+                phase_idx, mei, u_lobe, jnp.stack([u2b_x, u2b_y], axis=-1),
+                wavelengths, scatter_med,
+            )
+            bs, bw = scene.bsdf_sample_pol(
+                si, u_lobe, jnp.stack([u2b_x, u2b_y], axis=-1), wavelengths,
+                scatter_surf,
+            )
+        else:
+            wo_ph, w_ph, pdf_ph = scene.phase_sample(
+                phase_idx, mei, u_lobe, jnp.stack([u2b_x, u2b_y], axis=-1),
+                wavelengths, scatter_med,
+            )
+            bs, bw = scene.bsdf_sample(
+                si, u_lobe, jnp.stack([u2b_x, u2b_y], axis=-1), wavelengths,
+                scatter_surf,
+            )
+        d_med = mei.to_world(wo_ph)
+        d_surf = si.to_world(bs.wo)
+
+        new_d = jnp.where(
+            scatter_med[..., None], d_med,
+            jnp.where(scatter_surf[..., None], d_surf, s["ray_d"]),
+        )
+        o_surf = spawn_ray(si.p, si.n, new_d).o
+        new_o = jnp.where(
+            scatter_med[..., None], p_med,
+            jnp.where(surface_event[..., None], o_surf, s["ray_o"]),
+        )
+
+        beta = ops.where_beta(scatter_med, ops.apply(beta, w_ph), beta)
+        beta = ops.where_beta(scatter_surf, ops.apply(beta, bw), beta)
+
+        new_medium = jnp.where(
+            null_cross | scatter_surf,
+            scene.medium_transition(si, new_d, s["medium"]),
+            s["medium"],
+        )
+
+        new_depth = s["depth"] + (scatter_med | scatter_surf).astype(jnp.int32)
+        new_prev_pdf = jnp.where(
+            scatter_med, pdf_ph, jnp.where(scatter_surf, bs.pdf, s["prev_pdf"])
+        )
+        new_prev_delta = jnp.where(
+            scatter_med, False, jnp.where(scatter_surf, bs.delta, s["prev_delta"])
+        )
+        new_prev_p = jnp.where(nee_active[..., None], ref_p, s["prev_p"])
+
+        alive = s["active"] & ~escaped
+        alive = alive & ~(scatter_surf & (bs.pdf <= 0))
+        alive = alive & ~(scatter_med & (pdf_ph <= 0))
+        beta_int = ops.intensity_beta(beta)          # [N, C]
+        alive = alive & ~(surface_event & ~is_null_surf & ~depth_ok)
+        alive = alive & ~(real & ~depth_ok)
+        alive = alive & (jnp.max(beta_int, axis=-1) > 0)
+
+        # ---- Russian roulette ----
+        beta_max = jnp.max(beta_int, axis=-1)
+        rr_active = (new_depth >= self.rr_depth) & (scatter_med | scatter_surf)
+        q = jnp.minimum(beta_max, 0.95)
+        rr_continue = u_rr < q
+        beta = ops.where_beta(
+            rr_active & alive,
+            ops.mul_scalar(beta, 1.0 / jnp.maximum(q, 1e-6)[..., None]),
+            beta,
+        )
+        alive = alive & (~rr_active | rr_continue)
+
+        n_rays = s["n_rays"] + jnp.sum(s["active"].astype(jnp.float32)) + jnp.sum(
+            nee_active.astype(jnp.float32)
+        )
+
+        return dict(
+            s,
+            depth=new_depth, n_rays=n_rays, L=L, beta=beta,
+            ray_o=new_o, ray_d=new_d, medium=new_medium, rng=rng,
+            active=alive, prev_pdf=new_prev_pdf,
+            prev_delta=new_prev_delta, prev_p=new_prev_p,
+        )
+
+    def regen_render(self, scene, seed, spp, sensor_idx):
+        return volpath_regen_render(self, scene, seed, spp, sensor_idx)
+
+
+def volpath_regen_render(integrator, scene, seed, spp, sensor_idx):
+    """Regenerative volumetric wavefront (see path.py path_regen_render):
+    lanes that terminate restart on their pixel's next sample, so deep
+    transport budgets (max_depth 32+ AOS media) no longer drag every lane
+    through max_segments masked iterations."""
+    from ..render_api import wavefront_for
+    from .path import lanes_rng, merge_rng
+
+    film = scene.film
+    n = film.crop_w * film.crop_h
+    nc = scene.n_channels
+    ops = get_ops(scene.polarized)
+    max_depth = integrator.max_depth if integrator.max_depth > 0 else 64
+    max_segments = integrator.max_segments or (max_depth + 8)
+    pix = jnp.arange(n, dtype=jnp.uint32)
+    wavelengths = None  # regen mode is rgb/mono (render() gates this)
+
+    def fresh(sidx):
+        rng_f, ray_f, _, _, _ = wavefront_for(
+            scene, seed, pix, sidx, jnp.uint32(spp), sensor_idx
+        )
+        rng_f = lanes_rng(rng_f, n)
+        u_ch, _, rng_f = _next2(rng_f)
+        return rng_f, ray_f, sample_channel(u_ch, nc)
+
+    rng0, ray0, ch0 = fresh(jnp.zeros((n,), jnp.uint32))
+
+    state = dict(
+        iters=jnp.asarray(0, jnp.int32),
+        n_rays=jnp.asarray(0.0, jnp.float32),
+        s_next=jnp.zeros((n,), jnp.uint32),
+        L_px=jnp.zeros((n, nc), jnp.float32),
+        depth=jnp.zeros((n,), jnp.int32),
+        L=ops.zero_radiance(n, nc),
+        beta=ops.one(n, nc),
+        ray_o=ray0.o,
+        ray_d=ray0.d,
+        medium=jnp.full((n,), scene.camera_medium, jnp.int32),
+        channel=ch0,
+        rng=rng0,
+        active=jnp.zeros((n,), bool),
+        prev_pdf=jnp.ones((n,), jnp.float32),
+        prev_delta=jnp.ones((n,), bool),
+        prev_p=ray0.o,
+    )
+
+    def cond(s):
+        work = s["active"] | (s["s_next"] < jnp.uint32(spp))
+        return jnp.any(work) & (s["iters"] < spp * max_segments + 1)
+
+    def body(s):
+        regen = (~s["active"]) & (s["s_next"] < jnp.uint32(spp))
+        rng_new, ray_new, ch_new = fresh(s["s_next"])
+
+        def sel(a, b):
+            m = regen
+            while m.ndim < a.ndim:
+                m = m[..., None]
+            return jnp.where(m, a, b)
+
+        s = dict(
+            s,
+            # regen mode is non-polarized, so L is plain [n, C] radiance
+            L_px=s["L_px"] + jnp.where(regen[..., None], s["L"], 0.0),
+            L=sel(jnp.zeros_like(s["L"]), s["L"]),
+            beta=sel(ops.one(n, nc), s["beta"]),
+            ray_o=sel(ray_new.o, s["ray_o"]),
+            ray_d=sel(ray_new.d, s["ray_d"]),
+            medium=sel(jnp.full((n,), scene.camera_medium, jnp.int32), s["medium"]),
+            channel=sel(ch_new, s["channel"]),
+            rng=merge_rng(rng_new, s["rng"], regen),
+            depth=sel(jnp.zeros_like(s["depth"]), s["depth"]),
+            prev_pdf=sel(jnp.ones_like(s["prev_pdf"]), s["prev_pdf"]),
+            prev_delta=sel(jnp.ones_like(s["prev_delta"]), s["prev_delta"]),
+            prev_p=sel(ray_new.o, s["prev_p"]),
+            active=s["active"] | regen,
+            s_next=jnp.where(regen, s["s_next"] + 1, s["s_next"]),
+        )
+        s = integrator._bounce(scene, ops, wavelengths, max_depth, s)
+        return dict(s, iters=s["iters"] + 1)
+
+    out = jax.lax.while_loop(cond, body, state)
+    L_px = out["L_px"] + out["L"]   # lanes exit inactive: flush final paths
+    return L_px, {"n_rays": out["n_rays"], "wavefront_iters": out["iters"]}

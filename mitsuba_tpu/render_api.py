@@ -270,10 +270,8 @@ def render(scene, params=None, sensor=0, seed=0, spp=None, spp_per_pass=None):
 
 @partial(jax.jit, static_argnames=("spp", "sensor_idx"))
 def _render_regen_pass(scene, seed, spp, sensor_idx):
-    from .integrators.path import path_regen_render
-
     scene = scene.replace(geometry=scene.geometry.refresh())
-    L_px, aux = path_regen_render(scene.integrator, scene, seed, spp, sensor_idx)
+    L_px, aux = scene.integrator.regen_render(scene, seed, spp, sensor_idx)
     from .utils.observe import warn_invalid
 
     L_px, inv = warn_invalid(L_px)

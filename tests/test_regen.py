@@ -71,3 +71,59 @@ def test_regen_spp1_and_odd_spp():
             mi.render(_scene(max_depth=3, regenerate=True), spp=spp, seed=7)
         )
         np.testing.assert_allclose(img_reg, img_std, rtol=2e-4, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# volumetric regeneration (the deep-AOS-budget case VERDICT r1 named)
+# ---------------------------------------------------------------------------
+
+def _vol_scene(max_depth, regenerate, sigma=4.0, w=16, h=16):
+    d = {
+        "type": "scene",
+        "integrator": {
+            "type": "volpath", "max_depth": max_depth,
+            "regenerate": regenerate, "track_steps": 16, "nee_steps": 16,
+        },
+        "sensor": {
+            "type": "perspective", "fov": 45,
+            "to_world": [{"type": "look_at", "origin": [0, 0, 4],
+                          "target": [0, 0, 0], "up": [0, 1, 0]}],
+            "film": {"type": "hdrfilm", "width": w, "height": h},
+            "sampler": {"type": "independent", "sample_count": 4},
+        },
+        "light": {"type": "constant", "radiance": {"type": "rgb", "value": [1.0, 1.0, 1.0]}},
+        "slab": {
+            "type": "cube",
+            "to_world": [{"type": "scale", "value": [1.2, 1.2, 1.2]}],
+            "bsdf": {"type": "null"},
+            "interior": {
+                "type": "homogeneous",
+                "sigma_t": [sigma, sigma, sigma],
+                "albedo": [0.95, 0.95, 0.95],
+                "phase": {"type": "hg", "g": 0.6},
+            },
+        },
+    }
+    return mi.load_dict(d)
+
+
+def test_volpath_regen_matches_standard():
+    spp = 4
+    img_std = np.asarray(mi.render(_vol_scene(12, False), spp=spp, seed=3))
+    img_reg = np.asarray(mi.render(_vol_scene(12, True), spp=spp, seed=3))
+    np.testing.assert_allclose(img_reg, img_std, rtol=3e-4, atol=3e-5)
+
+
+def test_volpath_regen_deep_budget_efficiency():
+    """Optically thick slab at max_depth=32: the standard wavefront always
+    executes spp * max_segments outer iterations; regeneration must need far
+    fewer."""
+    from mitsuba_tpu.render_api import _render_regen_pass
+    import jax.numpy as jnp
+
+    spp, max_depth = 8, 32
+    scene = _vol_scene(max_depth, True)
+    _, aux = _render_regen_pass(scene, jnp.uint32(1), spp, 0)
+    iters = int(aux["wavefront_iters"])
+    standard_iters = spp * (max_depth + 8)   # scan length in sample()
+    assert iters < standard_iters / 2, (iters, standard_iters)
