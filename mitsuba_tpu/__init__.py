@@ -36,3 +36,5 @@ from . import chi2  # noqa: E402
 from .xml import dict_to_xml, load_xml_dict  # noqa: E402
 from .utils.denoise import Denoiser, denoise  # noqa: E402
 OptixDenoiser = Denoiser  # reference-name alias (optixdenoiser.h wrapper)
+from .utils.io import Bitmap  # noqa: E402
+from .utils.observe import Log, LogLevel, set_log_level  # noqa: E402

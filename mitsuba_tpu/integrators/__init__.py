@@ -88,7 +88,8 @@ def make_integrator(spec):
         from .volpathaos import VolPathAOSIntegrator
 
         return VolPathAOSIntegrator(
-            max_depth=max_depth, rr_depth=rr_depth, hide_emitters=hide
+            max_depth=max_depth, rr_depth=rr_depth, hide_emitters=hide,
+            regenerate=bool(spec.get("regenerate", False)),
         )
     if t == "prb_volpathaos":
         from ..ad.prb_volpathaos import PRBVolpathAOSIntegrator

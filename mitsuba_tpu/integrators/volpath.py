@@ -497,6 +497,12 @@ class VolPathIntegrator:
             prev_delta=new_prev_delta, prev_p=new_prev_p,
         )
 
+    def _regen_extra(self, n, scene):
+        """Per-lane state (beyond the common fields) that the regenerative
+        driver resets when a lane restarts; subclasses extend (volpathaos:
+        refractive-interface memory)."""
+        return {}
+
     def regen_render(self, scene, seed, spp, sensor_idx):
         return volpath_regen_render(self, scene, seed, spp, sensor_idx)
 
@@ -527,6 +533,7 @@ def volpath_regen_render(integrator, scene, seed, spp, sensor_idx):
         return rng_f, ray_f, sample_channel(u_ch, nc)
 
     rng0, ray0, ch0 = fresh(jnp.zeros((n,), jnp.uint32))
+    extra0 = integrator._regen_extra(n, scene)
 
     state = dict(
         iters=jnp.asarray(0, jnp.int32),
@@ -545,6 +552,7 @@ def volpath_regen_render(integrator, scene, seed, spp, sensor_idx):
         prev_pdf=jnp.ones((n,), jnp.float32),
         prev_delta=jnp.ones((n,), bool),
         prev_p=ray0.o,
+        **extra0,
     )
 
     def cond(s):
@@ -578,6 +586,7 @@ def volpath_regen_render(integrator, scene, seed, spp, sensor_idx):
             prev_p=sel(ray_new.o, s["prev_p"]),
             active=s["active"] | regen,
             s_next=jnp.where(regen, s["s_next"] + 1, s["s_next"]),
+            **{k: sel(v, s[k]) for k, v in extra0.items()},
         )
         s = integrator._bounce(scene, ops, wavelengths, max_depth, s)
         return dict(s, iters=s["iters"] + 1)

@@ -29,7 +29,7 @@ BSDF_TYPES = {
 }
 SHAPE_TYPES = {
     "rectangle", "cube", "sphere", "obj", "ply", "disk", "serialized",
-    "cylinder", "sdfgrid", "bsplinecurve", "linearcurve",
+    "cylinder", "sdfgrid", "bsplinecurve", "linearcurve", "mesh", "blender",
 }
 EMITTER_TYPES = {"constant", "point", "directional", "envmap", "spot", "projector"}
 SENSOR_TYPES = {
@@ -679,6 +679,30 @@ def load_dict(d):
                 tri_meshes.append(m)
             elif t in ("obj", "ply"):
                 m = _load_mesh_native(t, spec["filename"], to_world)
+                m["shape_index"] = shape_index
+                tri_meshes.append(m)
+            elif t in ("mesh", "blender"):
+                # programmatic raw-array mesh — the reference's
+                # Python-constructed mi.Mesh / Blender-bridge workflow
+                # (reference: src/shapes/blender.cpp, mesh.cpp Mesh(name,
+                # vertex_count, face_count) + mesh_params.update()); used by
+                # LargeSteps-style pipelines that rebuild geometry each step
+                V = np.asarray(spec["vertex_positions"], np.float32).reshape(-1, 3)
+                F = np.asarray(spec["faces"], np.int32).reshape(-1, 3)
+                mm = np.asarray(to_world.m)
+                Vw = (mm[:3, :3] @ V.T + mm[:3, 3:4]).T.astype(np.float32)
+                m = {"vertices": Vw, "faces": F}
+                if "uvs" in spec or "vertex_texcoords" in spec:
+                    m["uvs"] = np.asarray(
+                        spec.get("uvs", spec.get("vertex_texcoords")), np.float32
+                    ).reshape(-1, 2)
+                if "normals" in spec or "vertex_normals" in spec:
+                    nrm = np.asarray(
+                        spec.get("normals", spec.get("vertex_normals")), np.float32
+                    ).reshape(-1, 3)
+                    m["normals"] = (
+                        np.linalg.inv(mm[:3, :3]).T @ nrm.T
+                    ).T.astype(np.float32)
                 m["shape_index"] = shape_index
                 tri_meshes.append(m)
             elif t in ("bsplinecurve", "linearcurve"):

@@ -349,3 +349,66 @@ def read_bitmap(path):
     if p.endswith(".npy"):
         return np.load(p)
     return read_ldr(p)
+
+
+class Bitmap:
+    """Array-backed bitmap with the reference Bitmap's user surface
+    (reference: include/mitsuba/core/bitmap.h): construct from a path or an
+    array, `convert()` pixel/component format + gamma, `write()` by
+    extension.  Interops with numpy/jnp via __array__."""
+
+    def __init__(self, data, channel_names=None):
+        if isinstance(data, (str, bytes)) or hasattr(data, "__fspath__"):
+            self.data = np.asarray(read_bitmap(data))
+        else:
+            self.data = np.asarray(data)
+        if self.data.ndim == 2:
+            self.data = self.data[..., None]
+        self.channel_names = channel_names or (
+            ["Y"] if self.data.shape[-1] == 1
+            else ["R", "G", "B", "A"][: self.data.shape[-1]]
+        )
+
+    # -- reference accessors -------------------------------------------
+    @property
+    def width(self):
+        return self.data.shape[1]
+
+    @property
+    def height(self):
+        return self.data.shape[0]
+
+    def size(self):
+        return (self.width, self.height)
+
+    @property
+    def channel_count(self):
+        return self.data.shape[-1]
+
+    def __array__(self, dtype=None, copy=None):
+        return self.data.astype(dtype) if dtype else self.data
+
+    def convert(self, pixel_format=None, component_format=np.float32,
+                srgb_gamma=None, channels=None):
+        """Bitmap::convert analog; pixel_format: None|'rgb'|'luminance'."""
+        img = self.data
+        if pixel_format == "luminance" and img.shape[-1] >= 3:
+            img = (
+                0.212671 * img[..., 0:1]
+                + 0.715160 * img[..., 1:2]
+                + 0.072169 * img[..., 2:3]
+            )
+        elif pixel_format == "rgb" and img.shape[-1] == 1:
+            img = np.repeat(img, 3, axis=-1)
+        out = convert(img, component_format, srgb_gamma=srgb_gamma, channels=channels)
+        return Bitmap(out)
+
+    def write(self, path):
+        write_bitmap(path, self.data, self.channel_names)
+        return self
+
+    def __repr__(self):
+        return (
+            f"Bitmap[{self.width}x{self.height}, "
+            f"channels={self.channel_names}, dtype={self.data.dtype}]"
+        )

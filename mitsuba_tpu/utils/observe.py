@@ -19,6 +19,31 @@ import jax.numpy as jnp
 logger = logging.getLogger("mitsuba_tpu")
 
 
+class LogLevel:
+    """(reference: include/mitsuba/core/logger.h LogLevel enum)."""
+
+    Trace = logging.DEBUG - 5
+    Debug = logging.DEBUG
+    Info = logging.INFO
+    Warn = logging.WARNING
+    Error = logging.ERROR
+
+
+def set_log_level(level):
+    """mi.set_log_level parity (reference: Logger::set_log_level). Accepts a
+    LogLevel value or a logging module level int."""
+    logger.setLevel(level)
+    if not logger.handlers:
+        h = logging.StreamHandler()
+        h.setFormatter(logging.Formatter("%(asctime)s %(levelname)s  %(message)s"))
+        logger.addHandler(h)
+
+
+def Log(level, msg, *args):
+    """mi.Log parity (reference: logger.h Log macro)."""
+    logger.log(level, msg, *args)
+
+
 def warn_invalid(L, active=None, polarized=False, clamp_negative=True):
     """Sanitize per-lane radiance before film accumulation (the reference's
     ImageBlock warn_negative/warn_invalid, imageblock.cpp:122-126): NaN/inf

@@ -117,3 +117,31 @@ def test_convert_channel_select():
     img = np.arange(12, dtype=np.float32).reshape(1, 1, 12)
     out = convert(img, np.float32, channels=[3, 0])
     assert out.shape == (1, 1, 2) and out[0, 0, 0] == 3.0 and out[0, 0, 1] == 0.0
+
+
+def test_bitmap_class():
+    """Bitmap wrapper: construct/convert/write/size parity
+    (reference: bitmap.h user surface)."""
+    from mitsuba_tpu.utils.io import Bitmap
+
+    img = np.random.default_rng(0).random((6, 8, 3)).astype(np.float32)
+    b = Bitmap(img)
+    assert b.size() == (8, 6) and b.channel_count == 3
+    lum = b.convert(pixel_format="luminance")
+    assert lum.channel_count == 1
+    u8 = b.convert(component_format=np.uint8, srgb_gamma="to_srgb")
+    assert np.asarray(u8).dtype == np.uint8
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "b.exr")
+        b.write(p)
+        b2 = Bitmap(p)
+        np.testing.assert_allclose(np.asarray(b2), img, atol=1e-3)
+
+
+def test_log_level_api():
+    import mitsuba_tpu as mi
+
+    mi.set_log_level(mi.LogLevel.Warn)
+    mi.Log(mi.LogLevel.Info, "hidden %d", 1)
+    mi.Log(mi.LogLevel.Warn, "shown %d", 2)

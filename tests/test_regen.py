@@ -114,6 +114,43 @@ def test_volpath_regen_matches_standard():
     np.testing.assert_allclose(img_reg, img_std, rtol=3e-4, atol=3e-5)
 
 
+def _aos_scene(regenerate):
+    """Ocean-like: dielectric interface over a scattering medium (the
+    refractive-NEE state `refr` must reset correctly on regeneration)."""
+    d = {
+        "type": "scene",
+        "integrator": {"type": "volpathaos", "max_depth": 6, "regenerate": regenerate},
+        "sensor": {
+            "type": "perspective", "fov": 50,
+            "to_world": [{"type": "look_at", "origin": [0, 0, 3],
+                          "target": [0, 0, 0], "up": [0, 1, 0]}],
+            "film": {"type": "hdrfilm", "width": 12, "height": 12,
+                     "rfilter": {"type": "box"}},
+            "sampler": {"type": "independent", "sample_count": 4},
+        },
+        "light": {"type": "constant", "radiance": {"type": "rgb", "value": [1.0, 1.0, 1.0]}},
+        "surface": {
+            "type": "rectangle",
+            "to_world": [{"type": "scale", "value": [4.0, 4.0, 1.0]}],
+            "bsdf": {"type": "dielectric", "int_ior": 1.33, "ext_ior": 1.0},
+            "interior": {
+                "type": "homogeneous",
+                "sigma_t": [0.8, 0.8, 0.8],
+                "albedo": [0.9, 0.9, 0.9],
+                "phase": {"type": "rayleigh"},
+            },
+        },
+    }
+    return mi.load_dict(d)
+
+
+def test_volpathaos_regen_matches_standard():
+    spp = 4
+    img_std = np.asarray(mi.render(_aos_scene(False), spp=spp, seed=9))
+    img_reg = np.asarray(mi.render(_aos_scene(True), spp=spp, seed=9))
+    np.testing.assert_allclose(img_reg, img_std, rtol=3e-4, atol=3e-5)
+
+
 def test_volpath_regen_deep_budget_efficiency():
     """Optically thick slab at max_depth=32: the standard wavefront always
     executes spp * max_segments outer iterations; regeneration must need far
