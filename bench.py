@@ -14,7 +14,23 @@ benchmark numbers at all (BASELINE.md).  detail{} also carries a >=100k-tri
 mesh-scene config (BVH sweep-kernel path; VERDICT r1 item 2).
 """
 import json
+import os
+import signal
 import time
+
+# Watchdog: if TPU/backend init wedges (axon pool unavailable), emit an
+# honest JSON error line instead of hanging the driver past its timeout.
+def _watchdog(signum, frame):
+    print(json.dumps({
+        "metric": "Mrays/s fwd+bwd (cbox PRB 256x256@64spp)",
+        "value": 0.0, "unit": "Mrays/s", "vs_baseline": 0.0,
+        "detail": {"error": "watchdog: backend init or compile exceeded 25min"},
+    }), flush=True)
+    os._exit(2)
+
+
+signal.signal(signal.SIGALRM, _watchdog)
+signal.alarm(1500)
 
 import jax
 import jax.numpy as jnp
@@ -101,6 +117,57 @@ def main():
         mesh_tris = 0
         mesh_err = str(e)[:200]
 
+    # ---- deep-volumetric config: regeneration vs masked wavefront ----
+    # (VERDICT r1 weak #3: show the compaction win on a depth-32 volume)
+    regen_speedup = None
+    try:
+        vol_d = {
+            "type": "scene",
+            "integrator": {"type": "volpath", "max_depth": 32,
+                           "track_steps": 16, "nee_steps": 16},
+            "sensor": {
+                "type": "perspective", "fov": 45,
+                "to_world": [{"type": "look_at", "origin": [0, 0, 4],
+                              "target": [0, 0, 0], "up": [0, 1, 0]}],
+                "film": {"type": "hdrfilm", "width": 128, "height": 128,
+                         "rfilter": {"type": "box"}},
+                "sampler": {"type": "independent", "sample_count": 16},
+            },
+            "light": {"type": "constant",
+                      "radiance": {"type": "rgb", "value": [1.0, 1.0, 1.0]}},
+            "slab": {
+                "type": "cube",
+                "to_world": [{"type": "scale", "value": [1.2, 1.2, 1.2]}],
+                "bsdf": {"type": "null"},
+                "interior": {
+                    "type": "homogeneous",
+                    "sigma_t": [4.0, 4.0, 4.0],
+                    "albedo": [0.95, 0.95, 0.95],
+                    "phase": {"type": "hg", "g": 0.6},
+                },
+            },
+        }
+        spp_v = 16
+
+        def time_render(sc):
+            img = mi.render(sc, spp=spp_v, seed=0)
+            jax.block_until_ready(img)
+            best_v = None
+            for i in range(2):
+                t0 = time.perf_counter()
+                img = mi.render(sc, spp=spp_v, seed=i + 1)
+                jax.block_until_ready(img)
+                dt = time.perf_counter() - t0
+                best_v = dt if best_v is None else min(best_v, dt)
+            return best_v
+
+        t_std = time_render(mi.load_dict(vol_d))
+        vol_d["integrator"]["regenerate"] = True
+        t_reg = time_render(mi.load_dict(vol_d))
+        regen_speedup = round(t_std / t_reg, 2)
+    except Exception:
+        pass
+
     print(
         json.dumps(
             {
@@ -118,6 +185,7 @@ def main():
                     "grad_param": key,
                     "mesh_fwd_mrays": mesh_mrays,
                     "mesh_tris": int(mesh_tris),
+                    "vol32_regen_speedup": regen_speedup,
                 },
             }
         )

@@ -64,7 +64,7 @@ def wavefront_for(scene, seed, pix, sidx, spp_total, sensor_idx):
         # (reference: src/samplers/*; core/rng.py LDS mode)
         rng = RNG(
             seed, global_sample,
-            pixel=pix, sidx=jnp.uint32(pass_base) + s_local, lds=True,
+            pixel=pix, sidx=s_local, lds=True,
         )
     else:
         rng = RNG(seed, global_sample)
