@@ -80,3 +80,40 @@ def prb_pass(scene, seed, pass_base, spp_pass, spp_total, sensor_idx):
     return prb_pass_lanes(
         scene, seed, jnp.uint32(0), n, pass_base, spp_pass, spp_total, sensor_idx
     )
+
+
+# ---------------------------------------------------------------------------
+# Regenerative PRB: custom-vjp boundary for the compacted wavefront
+# ---------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def prb_regen_px(scene, seed, spp, sensor_idx):
+    """Sample-summed per-pixel radiance [n_pixels, C] under path
+    regeneration, with PRB gradients.  Forward = path_regen_render; backward
+    = the regenerative replay (PRBIntegrator.regen_backward) seeded with the
+    per-sample primal radiances the forward pass records."""
+    from ..integrators.path import path_regen_render
+
+    L_px, _ = path_regen_render(scene.integrator, scene, seed, spp, sensor_idx)
+    return L_px
+
+
+def _prb_regen_px_fwd(scene, seed, spp, sensor_idx):
+    from ..integrators.path import path_regen_render
+
+    L_px, aux = path_regen_render(
+        scene.integrator, scene, seed, spp, sensor_idx, record_samples=True
+    )
+    return L_px, (scene, seed, aux["L_samples"])
+
+
+def _prb_regen_px_bwd(spp, sensor_idx, res, dL_px):
+    scene, seed, L_samples = res
+    grads = scene.integrator.regen_backward(
+        scene, seed, spp, sensor_idx, dL_px, L_samples
+    )
+    ct_scene = assemble_scene_cotangent(scene, grads)
+    return ct_scene, np.zeros((), FLOAT0)
+
+
+prb_regen_px.defvjp(_prb_regen_px_fwd, _prb_regen_px_bwd)

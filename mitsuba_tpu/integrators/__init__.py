@@ -35,6 +35,7 @@ def make_integrator(spec):
         return PRBIntegrator(
             max_depth=max_depth, rr_depth=rr_depth, hide_emitters=hide,
             defer_nee=bool(spec.get("defer_nee", True)),
+            regenerate=bool(spec.get("regenerate", False)),
         )
     if t == "direct":
         from .direct import DirectIntegrator

@@ -266,9 +266,15 @@ def merge_rng(new, old, m):
     )
 
 
-def path_regen_render(integrator, scene, seed, spp, sensor_idx):
+def path_regen_render(integrator, scene, seed, spp, sensor_idx,
+                      record_samples=False):
     """Forward-only regenerative wavefront for PathIntegrator-family
-    integrators.  Returns (L_px [n_pixels, C] sample-summed radiance, aux)."""
+    integrators.  Returns (L_px [n_pixels, C] sample-summed radiance, aux).
+
+    record_samples=True additionally stores every finished path's radiance in
+    aux["L_samples"] [n_pixels, spp, C] — the per-sample primal the PRB
+    regenerative backward replay needs (each replayed path must start from
+    its own total radiance)."""
     from ..render_api import wavefront_for
 
     film = scene.film
@@ -287,6 +293,7 @@ def path_regen_render(integrator, scene, seed, spp, sensor_idx):
         iters=jnp.asarray(0, jnp.int32),
         n_rays=jnp.asarray(0.0, jnp.float32),
         s_next=jnp.zeros((n,), jnp.uint32),
+        cur_sample=jnp.zeros((n,), jnp.uint32),
         depth=jnp.zeros((n,), jnp.int32),
         L_px=jnp.zeros((n, nc), jnp.float32),
         L=jnp.zeros((n, nc), jnp.float32),
@@ -300,6 +307,8 @@ def path_regen_render(integrator, scene, seed, spp, sensor_idx):
         prev_delta=jnp.ones((n,), bool),
         prev_p=ray0.o,
     )
+    if record_samples:
+        state["L_samples"] = jnp.zeros((n, spp, nc), jnp.float32)
 
     def cond(s):
         work = s["active"] | (s["s_next"] < jnp.uint32(spp))
@@ -317,6 +326,9 @@ def path_regen_render(integrator, scene, seed, spp, sensor_idx):
                 m = m[..., None]
             return jnp.where(m, a, b)
 
+        flush = regen & (s["s_next"] > 0)
+        L_old = s["L"]
+        cur_old = s["cur_sample"]
         s = dict(
             s,
             # flush the finished path's radiance into the pixel accumulator
@@ -332,8 +344,16 @@ def path_regen_render(integrator, scene, seed, spp, sensor_idx):
             prev_delta=sel(jnp.ones_like(s["prev_delta"]), s["prev_delta"]),
             prev_p=sel(ray_new.o, s["prev_p"]),
             active=s["active"] | regen,
+            cur_sample=jnp.where(regen, s["s_next"], s["cur_sample"]),
             s_next=jnp.where(regen, s["s_next"] + 1, s["s_next"]),
         )
+        if record_samples:
+            # the flushed radiance belongs to the sample the lane held
+            # BEFORE this regeneration (cur_old)
+            s["L_samples"] = s["L_samples"].at[jnp.arange(n), cur_old].add(
+                jnp.where(flush[..., None], L_old, 0.0)
+            )
+
 
         # ---- one bounce (identical math + RNG order to sample()'s body,
         # with per-lane depth) ----
@@ -423,7 +443,13 @@ def path_regen_render(integrator, scene, seed, spp, sensor_idx):
         )
 
     out = jax.lax.while_loop(cond, body, state)
-    L_px = out["L_px"] + jnp.where(out["active"][..., None], 0.0, out["L"])
     # lanes can only exit the loop inactive, so out["L"] holds the final
     # path's radiance for every lane; add it unconditionally-but-masked
-    return L_px, {"n_rays": out["n_rays"], "wavefront_iters": out["iters"]}
+    final = jnp.where(out["active"][..., None], 0.0, out["L"])
+    L_px = out["L_px"] + final
+    aux = {"n_rays": out["n_rays"], "wavefront_iters": out["iters"]}
+    if record_samples:
+        aux["L_samples"] = out["L_samples"].at[
+            jnp.arange(n), out["cur_sample"]
+        ].add(jnp.where((out["s_next"] > 0)[..., None], final, 0.0))
+    return L_px, aux

@@ -221,8 +221,14 @@ def render(scene, params=None, sensor=0, seed=0, spp=None, spp_per_pass=None):
         getattr(scene.integrator, "regenerate", False)
         and scene.n_channels != 4
         and not scene.polarized
-        and not getattr(scene.integrator, "is_prb", False)
     ):
+        if getattr(scene.integrator, "is_prb", False):
+            if not hasattr(scene.integrator, "regen_backward"):
+                raise NotImplementedError(
+                    "regeneration is only differentiable for the surface PRB "
+                    "integrator so far"
+                )
+            return _render_regen_prb(scene, jnp.uint32(seed), spp, sensor)
         return _render_regen(scene, jnp.uint32(seed), spp, sensor)
 
     use_prb = getattr(scene.integrator, "is_prb", False)
@@ -284,6 +290,17 @@ def _render_regen(scene, seed, spp, sensor_idx):
     film = scene.film
     L_px, aux = _render_regen_pass(scene, seed, spp, sensor_idx)
     return develop(film, L_px, 1) / float(spp)
+
+
+@partial(jax.jit, static_argnames=("spp", "sensor_idx"))
+def _render_regen_prb(scene, seed, spp, sensor_idx):
+    """Differentiable regenerative render: the PRB custom-vjp boundary sits
+    at the per-pixel sample sum (ad/render_ad.py prb_regen_px)."""
+    from .ad.render_ad import prb_regen_px
+
+    scene = scene.replace(geometry=scene.geometry.refresh())
+    L_px = prb_regen_px(scene, seed, spp, sensor_idx)
+    return develop(scene.film, L_px, 1) / float(spp)
 
 
 @partial(jax.jit, static_argnames=("spp", "sensor_idx"))

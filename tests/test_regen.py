@@ -74,6 +74,57 @@ def test_regen_spp1_and_odd_spp():
 
 
 # ---------------------------------------------------------------------------
+# differentiable regeneration (PRB replay over the compacted wavefront)
+# ---------------------------------------------------------------------------
+
+def _prb_scene(regenerate, max_depth=4):
+    import jax.numpy as jnp
+
+    d = mi.cornell_box()
+    d["sensor"]["film"]["width"] = 24
+    d["sensor"]["film"]["height"] = 24
+    d["integrator"] = {
+        "type": "prb", "max_depth": max_depth,
+        "regenerate": regenerate, "defer_nee": False,
+    }
+    return mi.load_dict(d)
+
+
+def test_prb_regen_grads_match_standard():
+    """Per-sample contributions and replays are identical, so regen PRB
+    gradients must match standard PRB gradients to float tolerance."""
+    import jax
+    import jax.numpy as jnp
+    from mitsuba_tpu.render.params import _tree_get, _tree_set
+
+    spp, seed = 8, 4
+    key = "white.reflectance.value"
+
+    def grad_for(regen):
+        scene = _prb_scene(regen)
+        path = dict(scene.param_paths)[key]
+        base = _tree_get(scene, path)
+
+        def loss(v):
+            img = mi.render(_tree_set(scene, path, v), spp=spp, seed=seed)
+            return img.mean()
+
+        return np.asarray(jax.grad(loss)(base))
+
+    g_std = grad_for(False)
+    g_reg = grad_for(True)
+    np.testing.assert_allclose(g_reg, g_std, rtol=5e-4, atol=1e-7)
+    assert np.abs(g_std).max() > 0  # non-trivial gradient
+
+
+def test_prb_regen_primal_matches():
+    spp = 8
+    img_std = np.asarray(mi.render(_prb_scene(False), spp=spp, seed=2))
+    img_reg = np.asarray(mi.render(_prb_scene(True), spp=spp, seed=2))
+    np.testing.assert_allclose(img_reg, img_std, rtol=2e-4, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
 # volumetric regeneration (the deep-AOS-budget case VERDICT r1 named)
 # ---------------------------------------------------------------------------
 
