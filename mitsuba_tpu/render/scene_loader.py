@@ -829,6 +829,13 @@ def load_dict(d):
             shape_records.append(rec)
         elif t == "sampler":
             spp = int(spec.get("sample_count", spp))
+        elif t is not None:
+            # unknown top-level plugin: fail loudly like the reference's
+            # PluginManager (plugin.cpp "Plugin ... not found") instead of
+            # silently dropping scene content
+            raise ValueError(
+                f"scene entry {name!r}: unknown plugin type {t!r}"
+            )
 
     if sensor is None:
         sensor = SEN.PerspectiveCamera(
