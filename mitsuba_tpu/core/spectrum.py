@@ -155,12 +155,12 @@ def _rgb2spec_tables():
         res = int(np.frombuffer(buf, np.uint32, 1, 4)[0])
         scale = np.frombuffer(buf, np.float32, res, 8)
         data = np.frombuffer(buf, np.float32, 3 * res**3 * 3, 8 + 4 * res)
-        _RGB2SPEC = (
-            jnp.asarray(scale),
-            jnp.asarray(data.reshape(3, res, res, res, 3)),
-            res,
-        )
-    return _RGB2SPEC
+        # cache NUMPY (not jnp): a jnp constant materialized inside a jit
+        # trace is a tracer in the stackless regime and would leak into
+        # later traces (UnexpectedTracerError)
+        _RGB2SPEC = (scale.copy(), data.reshape(3, res, res, res, 3).copy(), res)
+    scale, data, res = _RGB2SPEC
+    return jnp.asarray(scale), jnp.asarray(data), res
 
 
 def srgb_to_spectral_coeff(rgb):

@@ -316,6 +316,8 @@ class VolPathIntegrator:
         with the regenerative driver below).  `s['channel']` is the per-lane
         hero channel, regenerated per sample in regen mode."""
         channel = s["channel"]
+        # regen mode threads per-sample hero wavelengths through the state
+        wavelengths = s.get("wavelengths", wavelengths)
         rng = s["rng"]
         cur_ray = Ray.make(s["ray_o"], s["ray_d"])
         si = scene.ray_intersect(cur_ray, s["active"])
@@ -511,7 +513,14 @@ def volpath_regen_render(integrator, scene, seed, spp, sensor_idx):
     """Regenerative volumetric wavefront (see path.py path_regen_render):
     lanes that terminate restart on their pixel's next sample, so deep
     transport budgets (max_depth 32+ AOS media) no longer drag every lane
-    through max_segments masked iterations."""
+    through max_segments masked iterations.
+
+    Spectral mode (hero wavelengths per sample) converts each finished path
+    to sRGB at flush time; polarized mode rotates each finished path's
+    Stokes vector into the shared sensor frame at flush time — the per-pass
+    post-processing the plain wavefront does in render()/render_lanes moves
+    inside the loop because samples in flight carry different wavelengths /
+    camera rays."""
     from ..render_api import wavefront_for
     from .path import lanes_rng, merge_rng
 
@@ -522,24 +531,45 @@ def volpath_regen_render(integrator, scene, seed, spp, sensor_idx):
     max_depth = integrator.max_depth if integrator.max_depth > 0 else 64
     max_segments = integrator.max_segments or (max_depth + 8)
     pix = jnp.arange(n, dtype=jnp.uint32)
-    wavelengths = None  # regen mode is rgb/mono (render() gates this)
+    spectral = nc == 4 and not scene.polarized
+    if spectral and film.srfs:
+        raise NotImplementedError("regeneration does not support specfilm yet")
 
     def fresh(sidx):
-        rng_f, ray_f, _, _, _ = wavefront_for(
+        rng_f, ray_f, wl_f, wlp_f, _ = wavefront_for(
             scene, seed, pix, sidx, jnp.uint32(spp), sensor_idx
         )
         rng_f = lanes_rng(rng_f, n)
         u_ch, _, rng_f = _next2(rng_f)
-        return rng_f, ray_f, sample_channel(u_ch, nc)
+        return rng_f, ray_f, sample_channel(u_ch, nc), wl_f, wlp_f
 
-    rng0, ray0, ch0 = fresh(jnp.zeros((n,), jnp.uint32))
+    rng0, ray0, ch0, wl0, wlp0 = fresh(jnp.zeros((n,), jnp.uint32))
     extra0 = integrator._regen_extra(n, scene)
+
+    def finish(L, s):
+        """Per-path film-domain value at flush time."""
+        if scene.polarized:
+            from ..render_api import to_sensor_mueller
+
+            return to_sensor_mueller(s["cam_d"], L)
+        if spectral:
+            from ..core import spectrum as spec
+
+            xyz = spec.spectrum_to_xyz(L, s["wavelengths"], s["wl_pdf"])
+            return jnp.clip(spec.xyz_to_srgb(xyz), 0.0, None)
+        return L
+
+    npx = 3 if spectral else nc
+    L_px0 = (
+        jnp.zeros((n, nc, 4), jnp.float32) if scene.polarized
+        else jnp.zeros((n, npx), jnp.float32)
+    )
 
     state = dict(
         iters=jnp.asarray(0, jnp.int32),
         n_rays=jnp.asarray(0.0, jnp.float32),
         s_next=jnp.zeros((n,), jnp.uint32),
-        L_px=jnp.zeros((n, nc), jnp.float32),
+        L_px=L_px0,
         depth=jnp.zeros((n,), jnp.int32),
         L=ops.zero_radiance(n, nc),
         beta=ops.one(n, nc),
@@ -554,6 +584,13 @@ def volpath_regen_render(integrator, scene, seed, spp, sensor_idx):
         prev_p=ray0.o,
         **extra0,
     )
+    if nc == 4:
+        # hero wavelengths ride the state in every spectral mode (incl.
+        # polarized, where the film keeps raw I/Q/U/V[.lambda])
+        state["wavelengths"] = wl0
+        state["wl_pdf"] = wlp0
+    if scene.polarized:
+        state["cam_d"] = ray0.d
 
     def cond(s):
         work = s["active"] | (s["s_next"] < jnp.uint32(spp))
@@ -561,7 +598,7 @@ def volpath_regen_render(integrator, scene, seed, spp, sensor_idx):
 
     def body(s):
         regen = (~s["active"]) & (s["s_next"] < jnp.uint32(spp))
-        rng_new, ray_new, ch_new = fresh(s["s_next"])
+        rng_new, ray_new, ch_new, wl_new, wlp_new = fresh(s["s_next"])
 
         def sel(a, b):
             m = regen
@@ -569,10 +606,12 @@ def volpath_regen_render(integrator, scene, seed, spp, sensor_idx):
                 m = m[..., None]
             return jnp.where(m, a, b)
 
-        s = dict(
-            s,
-            # regen mode is non-polarized, so L is plain [n, C] radiance
-            L_px=s["L_px"] + jnp.where(regen[..., None], s["L"], 0.0),
+        mask_px = regen
+        while mask_px.ndim < state["L_px"].ndim:
+            mask_px = mask_px[..., None]
+        upd = dict(
+            # flush the finished path, converted to the film domain
+            L_px=s["L_px"] + jnp.where(mask_px, finish(s["L"], s), 0.0),
             L=sel(jnp.zeros_like(s["L"]), s["L"]),
             beta=sel(ops.one(n, nc), s["beta"]),
             ray_o=sel(ray_new.o, s["ray_o"]),
@@ -586,11 +625,21 @@ def volpath_regen_render(integrator, scene, seed, spp, sensor_idx):
             prev_p=sel(ray_new.o, s["prev_p"]),
             active=s["active"] | regen,
             s_next=jnp.where(regen, s["s_next"] + 1, s["s_next"]),
-            **{k: sel(v, s[k]) for k, v in extra0.items()},
         )
-        s = integrator._bounce(scene, ops, wavelengths, max_depth, s)
+        upd.update({k: sel(v, s[k]) for k, v in extra0.items()})
+        if nc == 4:
+            upd["wavelengths"] = sel(wl_new, s["wavelengths"])
+            upd["wl_pdf"] = sel(wlp_new, s["wl_pdf"])
+        if scene.polarized:
+            upd["cam_d"] = sel(ray_new.d, s["cam_d"])
+        s = dict(s, **upd)
+        s = integrator._bounce(scene, ops, None, max_depth, s)
         return dict(s, iters=s["iters"] + 1)
 
     out = jax.lax.while_loop(cond, body, state)
-    L_px = out["L_px"] + out["L"]   # lanes exit inactive: flush final paths
+    # lanes exit inactive: flush every lane's final path
+    L_px = out["L_px"] + jnp.where(
+        (out["s_next"] > 0).reshape((n,) + (1,) * (out["L_px"].ndim - 1)),
+        finish(out["L"], out), 0.0,
+    )
     return L_px, {"n_rays": out["n_rays"], "wavefront_iters": out["iters"]}

@@ -180,6 +180,7 @@ class VolPathAOSIntegrator(VolPathIntegrator):
         """One AOS wavefront step (shared by sample() and the regenerative
         driver; see VolPathIntegrator._bounce)."""
         channel = s["channel"]
+        wavelengths = s.get("wavelengths", wavelengths)
         n = s["ray_o"].shape[0]
         # static map: which bsdf indices are refractive interfaces
         # (transmission-capable and not a null medium boundary)

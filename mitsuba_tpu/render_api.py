@@ -217,11 +217,11 @@ def render(scene, params=None, sensor=0, seed=0, spp=None, spp_per_pass=None):
             scene.integrator.sppp, scene.integrator.sppi,
         )
 
-    if (
-        getattr(scene.integrator, "regenerate", False)
-        and scene.n_channels != 4
-        and not scene.polarized
-    ):
+    if getattr(scene.integrator, "regenerate", False):
+        # volpath-family drivers handle spectral + polarized in-loop; the
+        # surface path driver is rgb/mono
+        volfam = hasattr(scene.integrator, "_bounce")
+        supported = volfam or (scene.n_channels != 4 and not scene.polarized)
         if getattr(scene.integrator, "is_prb", False):
             if not hasattr(scene.integrator, "regen_backward"):
                 raise NotImplementedError(
@@ -229,7 +229,8 @@ def render(scene, params=None, sensor=0, seed=0, spp=None, spp_per_pass=None):
                     "integrator so far"
                 )
             return _render_regen_prb(scene, jnp.uint32(seed), spp, sensor)
-        return _render_regen(scene, jnp.uint32(seed), spp, sensor)
+        if supported:
+            return _render_regen(scene, jnp.uint32(seed), spp, sensor)
 
     use_prb = getattr(scene.integrator, "is_prb", False)
     acc = None
@@ -280,7 +281,9 @@ def _render_regen_pass(scene, seed, spp, sensor_idx):
     L_px, aux = scene.integrator.regen_render(scene, seed, spp, sensor_idx)
     from .utils.observe import warn_invalid
 
-    L_px, inv = warn_invalid(L_px)
+    L_px, inv = warn_invalid(
+        L_px, polarized=scene.polarized and L_px.ndim == 3
+    )
     return L_px, dict(aux, **inv)
 
 

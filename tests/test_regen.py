@@ -202,6 +202,57 @@ def test_volpathaos_regen_matches_standard():
     np.testing.assert_allclose(img_reg, img_std, rtol=3e-4, atol=3e-5)
 
 
+def test_volpath_regen_spectral():
+    """Spectral mode: hero wavelengths per sample, sRGB conversion at flush
+    — the regenerative render must agree with the standard spectral render
+    (same streams, same per-sample values; only accumulation order moves)."""
+    mi.set_variant("spectral")
+    d = mi.cornell_box()
+    d["sensor"]["film"]["width"] = 16
+    d["sensor"]["film"]["height"] = 16
+    d["integrator"] = {"type": "volpath", "max_depth": 4}
+    img_std = np.asarray(mi.render(mi.load_dict(d), spp=8, seed=6))
+    d["integrator"]["regenerate"] = True
+    img_reg = np.asarray(mi.render(mi.load_dict(d), spp=8, seed=6))
+    mi.set_variant("rgb")
+    np.testing.assert_allclose(img_reg, img_std, rtol=3e-4, atol=3e-5)
+
+
+def test_volpath_regen_polarized():
+    """Polarized mode: per-path sensor-frame Stokes rotation at flush."""
+    mi.set_variant("mono_polarized")
+    d = {
+        "type": "scene",
+        "integrator": {"type": "volpath", "max_depth": 4},
+        "sensor": {
+            "type": "perspective", "fov": 45,
+            "to_world": [{"type": "look_at", "origin": [0, 0, 4],
+                          "target": [0, 0, 0], "up": [0, 1, 0]}],
+            "film": {"type": "hdrfilm", "width": 12, "height": 12,
+                     "rfilter": {"type": "box"}},
+            "sampler": {"type": "independent", "sample_count": 8},
+        },
+        "light": {"type": "constant", "radiance": 1.0},
+        "slab": {
+            "type": "cube",
+            "to_world": [{"type": "scale", "value": [1.0, 1.0, 0.3]}],
+            "bsdf": {"type": "null"},
+            "interior": {
+                "type": "homogeneous", "sigma_t": 1.0, "albedo": 0.9,
+                "phase": {"type": "rayleigh"},
+            },
+        },
+    }
+    img_std = np.asarray(mi.render(mi.load_dict(d), spp=8, seed=8))
+    d["integrator"]["regenerate"] = True
+    img_reg = np.asarray(mi.render(mi.load_dict(d), spp=8, seed=8))
+    mi.set_variant("rgb")
+    assert img_std.shape == img_reg.shape  # [H, W, 4, C] Stokes layout
+    np.testing.assert_allclose(img_reg, img_std, rtol=3e-4, atol=3e-5)
+    # polarization actually present (Rayleigh slab side-scatter)
+    assert np.abs(img_std[..., 1, :]).max() > 1e-4
+
+
 def test_volpath_regen_deep_budget_efficiency():
     """Optically thick slab at max_depth=32: the standard wavefront always
     executes spp * max_segments outer iterations; regeneration must need far
