@@ -89,20 +89,17 @@ def prb_pass(scene, seed, pass_base, spp_pass, spp_total, sensor_idx):
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def prb_regen_px(scene, seed, spp, sensor_idx):
     """Sample-summed per-pixel radiance [n_pixels, C] under path
-    regeneration, with PRB gradients.  Forward = path_regen_render; backward
-    = the regenerative replay (PRBIntegrator.regen_backward) seeded with the
-    per-sample primal radiances the forward pass records."""
-    from ..integrators.path import path_regen_render
-
-    L_px, _ = path_regen_render(scene.integrator, scene, seed, spp, sensor_idx)
+    regeneration, with PRB gradients.  Forward = the integrator's regen_render
+    (path_regen_render / volpath_regen_render); backward = the regenerative
+    replay (regen_backward) seeded with the per-sample primal radiances the
+    forward pass records."""
+    L_px, _ = scene.integrator.regen_render(scene, seed, spp, sensor_idx)
     return L_px
 
 
 def _prb_regen_px_fwd(scene, seed, spp, sensor_idx):
-    from ..integrators.path import path_regen_render
-
-    L_px, aux = path_regen_render(
-        scene.integrator, scene, seed, spp, sensor_idx, record_samples=True
+    L_px, aux = scene.integrator.regen_render(
+        scene, seed, spp, sensor_idx, record_samples=True
     )
     return L_px, (scene, seed, aux["L_samples"])
 

@@ -38,8 +38,10 @@ class PathIntegrator:
     # on the pixel's next sample instead of idling to max_depth
     regenerate: bool = struct.field(pytree_node=False, default=False)
 
-    def regen_render(self, scene, seed, spp, sensor_idx):
-        return path_regen_render(self, scene, seed, spp, sensor_idx)
+    def regen_render(self, scene, seed, spp, sensor_idx, record_samples=False):
+        return path_regen_render(
+            self, scene, seed, spp, sensor_idx, record_samples=record_samples
+        )
 
     def sample(self, scene, rng, ray, wavelengths, active):
         n = ray.o.shape[0]

@@ -505,11 +505,14 @@ class VolPathIntegrator:
         refractive-interface memory)."""
         return {}
 
-    def regen_render(self, scene, seed, spp, sensor_idx):
-        return volpath_regen_render(self, scene, seed, spp, sensor_idx)
+    def regen_render(self, scene, seed, spp, sensor_idx, record_samples=False):
+        return volpath_regen_render(
+            self, scene, seed, spp, sensor_idx, record_samples=record_samples
+        )
 
 
-def volpath_regen_render(integrator, scene, seed, spp, sensor_idx):
+def volpath_regen_render(integrator, scene, seed, spp, sensor_idx,
+                         record_samples=False):
     """Regenerative volumetric wavefront (see path.py path_regen_render):
     lanes that terminate restart on their pixel's next sample, so deep
     transport budgets (max_depth 32+ AOS media) no longer drag every lane
@@ -534,6 +537,12 @@ def volpath_regen_render(integrator, scene, seed, spp, sensor_idx):
     spectral = nc == 4 and not scene.polarized
     if spectral and film.srfs:
         raise NotImplementedError("regeneration does not support specfilm yet")
+    if record_samples and (spectral or scene.polarized):
+        # the PRB regenerative replay consumes raw per-sample radiances;
+        # spectral/polarized flush conversion adjoints are not wired yet
+        raise NotImplementedError(
+            "record_samples (regenerative PRB) requires mono/rgb unpolarized"
+        )
 
     def fresh(sidx):
         rng_f, ray_f, wl_f, wlp_f, _ = wavefront_for(
@@ -591,6 +600,9 @@ def volpath_regen_render(integrator, scene, seed, spp, sensor_idx):
         state["wl_pdf"] = wlp0
     if scene.polarized:
         state["cam_d"] = ray0.d
+    if record_samples:
+        state["cur_sample"] = jnp.zeros((n,), jnp.uint32)
+        state["L_samples"] = jnp.zeros((n, spp, nc), jnp.float32)
 
     def cond(s):
         work = s["active"] | (s["s_next"] < jnp.uint32(spp))
@@ -632,14 +644,28 @@ def volpath_regen_render(integrator, scene, seed, spp, sensor_idx):
             upd["wl_pdf"] = sel(wlp_new, s["wl_pdf"])
         if scene.polarized:
             upd["cam_d"] = sel(ray_new.d, s["cam_d"])
+        if record_samples:
+            # flushed radiance belongs to the sample the lane held BEFORE
+            # this regeneration (raw integrator-domain L: mono/rgb only)
+            flush = regen & (s["s_next"] > 0)
+            upd["L_samples"] = s["L_samples"].at[
+                jnp.arange(n), s["cur_sample"]
+            ].add(jnp.where(flush[..., None], s["L"], 0.0))
+            upd["cur_sample"] = jnp.where(regen, s["s_next"], s["cur_sample"])
         s = dict(s, **upd)
         s = integrator._bounce(scene, ops, None, max_depth, s)
         return dict(s, iters=s["iters"] + 1)
 
     out = jax.lax.while_loop(cond, body, state)
     # lanes exit inactive: flush every lane's final path
+    started = out["s_next"] > 0
     L_px = out["L_px"] + jnp.where(
-        (out["s_next"] > 0).reshape((n,) + (1,) * (out["L_px"].ndim - 1)),
+        started.reshape((n,) + (1,) * (out["L_px"].ndim - 1)),
         finish(out["L"], out), 0.0,
     )
-    return L_px, {"n_rays": out["n_rays"], "wavefront_iters": out["iters"]}
+    aux = {"n_rays": out["n_rays"], "wavefront_iters": out["iters"]}
+    if record_samples:
+        aux["L_samples"] = out["L_samples"].at[
+            jnp.arange(n), out["cur_sample"]
+        ].add(jnp.where(started[..., None], out["L"], 0.0))
+    return L_px, aux

@@ -223,13 +223,16 @@ def render(scene, params=None, sensor=0, seed=0, spp=None, spp_per_pass=None):
         volfam = hasattr(scene.integrator, "_bounce")
         supported = volfam or (scene.n_channels != 4 and not scene.polarized)
         if getattr(scene.integrator, "is_prb", False):
-            if not hasattr(scene.integrator, "regen_backward"):
-                raise NotImplementedError(
-                    "regeneration is only differentiable for the surface PRB "
-                    "integrator so far"
-                )
-            return _render_regen_prb(scene, jnp.uint32(seed), spp, sensor)
-        if supported:
+            # differentiable regeneration needs a regen_backward replay and
+            # (for now) a mono/rgb unpolarized film domain — otherwise fall
+            # through to the plain (uncompacted) PRB pipeline below
+            if (
+                hasattr(scene.integrator, "regen_backward")
+                and scene.n_channels != 4
+                and not scene.polarized
+            ):
+                return _render_regen_prb(scene, jnp.uint32(seed), spp, sensor)
+        elif supported:
             return _render_regen(scene, jnp.uint32(seed), spp, sensor)
 
     use_prb = getattr(scene.integrator, "is_prb", False)

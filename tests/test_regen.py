@@ -253,6 +253,115 @@ def test_volpath_regen_polarized():
     assert np.abs(img_std[..., 1, :]).max() > 1e-4
 
 
+def test_prbvolpath_regen_grads_match_standard():
+    """Volumetric PRB over the compacted wavefront: identical per-sample
+    replays, so regen gradients must match plain prbvolpath gradients."""
+    import jax
+    import jax.numpy as jnp
+    from mitsuba_tpu.render.params import _tree_get, _tree_set
+
+    spp, seed = 4, 11
+
+    def grad_for(regen, key):
+        d = {
+            "type": "scene",
+            "integrator": {
+                "type": "prbvolpath", "max_depth": 6,
+                "regenerate": regen, "track_steps": 16, "nee_steps": 16,
+            },
+            "sensor": {
+                "type": "perspective", "fov": 45,
+                "to_world": [{"type": "look_at", "origin": [0, 0, 4],
+                              "target": [0, 0, 0], "up": [0, 1, 0]}],
+                "film": {"type": "hdrfilm", "width": 12, "height": 12,
+                         "rfilter": {"type": "box"}},
+                "sampler": {"type": "independent", "sample_count": spp},
+            },
+            "light": {"type": "constant",
+                      "radiance": {"type": "rgb", "value": [1.0, 1.0, 1.0]}},
+            "slab": {
+                "type": "cube",
+                "to_world": [{"type": "scale", "value": [1.2, 1.2, 0.5]}],
+                "bsdf": {"type": "null"},
+                "interior": {
+                    "type": "homogeneous",
+                    "sigma_t": [2.0, 2.0, 2.0],
+                    "albedo": [0.9, 0.9, 0.9],
+                    "phase": {"type": "hg", "g": 0.4},
+                },
+            },
+        }
+        scene = mi.load_dict(d)
+        path = [p for k, p in scene.param_paths if k == key][0]
+        base = _tree_get(scene, path)
+
+        def loss(v):
+            img = mi.render(_tree_set(scene, path, v), spp=spp, seed=seed)
+            return img.mean()
+
+        return np.asarray(jax.grad(loss)(base))
+
+    for key in ("slab.interior_medium.albedo.value.value",
+                "slab.interior_medium.sigma_t.value.value"):
+        g_std = grad_for(False, key)
+        g_reg = grad_for(True, key)
+        np.testing.assert_allclose(g_reg, g_std, rtol=1e-3, atol=1e-7)
+        assert np.abs(g_std).max() > 0, key
+
+
+def test_prb_volpathaos_regen_grads_match_standard():
+    """AOS PRB over the compacted wavefront (refractive-NEE `refr` memory
+    resets per restart): regen gradients must match plain prb_volpathaos."""
+    import jax
+    import jax.numpy as jnp
+    from mitsuba_tpu.render.params import _tree_get, _tree_set
+
+    spp, seed = 4, 13
+    key = "surface.interior_medium.albedo.value.value"
+
+    def grad_for(regen):
+        d = {
+            "type": "scene",
+            "integrator": {"type": "prb_volpathaos", "max_depth": 6,
+                           "regenerate": regen},
+            "sensor": {
+                "type": "perspective", "fov": 50,
+                "to_world": [{"type": "look_at", "origin": [0, 0, 3],
+                              "target": [0, 0, 0], "up": [0, 1, 0]}],
+                "film": {"type": "hdrfilm", "width": 10, "height": 10,
+                         "rfilter": {"type": "box"}},
+                "sampler": {"type": "independent", "sample_count": spp},
+            },
+            "light": {"type": "constant",
+                      "radiance": {"type": "rgb", "value": [1.0, 1.0, 1.0]}},
+            "surface": {
+                "type": "rectangle",
+                "to_world": [{"type": "scale", "value": [4.0, 4.0, 1.0]}],
+                "bsdf": {"type": "dielectric", "int_ior": 1.33, "ext_ior": 1.0},
+                "interior": {
+                    "type": "homogeneous",
+                    "sigma_t": [0.8, 0.8, 0.8],
+                    "albedo": [0.9, 0.9, 0.9],
+                    "phase": {"type": "rayleigh"},
+                },
+            },
+        }
+        scene = mi.load_dict(d)
+        path = [p for k, p in scene.param_paths if k == key][0]
+        base = _tree_get(scene, path)
+
+        def loss(v):
+            img = mi.render(_tree_set(scene, path, v), spp=spp, seed=seed)
+            return img.mean()
+
+        return np.asarray(jax.grad(loss)(base))
+
+    g_std = grad_for(False)
+    g_reg = grad_for(True)
+    np.testing.assert_allclose(g_reg, g_std, rtol=1e-3, atol=1e-7)
+    assert np.abs(g_std).max() > 0
+
+
 def test_volpath_regen_deep_budget_efficiency():
     """Optically thick slab at max_depth=32: the standard wavefront always
     executes spp * max_segments outer iterations; regeneration must need far
