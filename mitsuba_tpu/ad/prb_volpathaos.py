@@ -96,6 +96,8 @@ class PRBVolpathAOSIntegrator(VolPathAOSIntegrator):
         ops = get_ops(scene.polarized)
         n = s["ray_o"].shape[0]
         channel = s["channel"]
+        wavelengths = s.get("wavelengths", wavelengths)
+        dL = s.get("dL", dL)
         refr_flags = [
             b.flags_transmission and type(b).__name__ != "NullBSDF"
             for b in scene.bsdfs

@@ -79,8 +79,11 @@ class PRBVolpathIntegrator(VolPathIntegrator):
     def _bwd_bounce(self, scene_d, scene, wavelengths, dL, max_depth, s):
         """One volumetric PRB replay step (scan body of sample_backward,
         shared with the regenerative backward driver).  `s['depth']` and
-        `s['channel']` are per-lane."""
+        `s['channel']` are per-lane; the regen driver threads per-sample
+        `wavelengths`/`dL` through the state instead of the arguments."""
         channel = s["channel"]
+        wavelengths = s.get("wavelengths", wavelengths)
+        dL = s.get("dL", dL)
         rng_seg = s["rng"]                       # snapshot for replay
         cur_ray = Ray.make(s["ray_o"], s["ray_d"])
         si = scene_d.ray_intersect(cur_ray, s["active"])
@@ -327,42 +330,72 @@ class PRBVolpathIntegrator(VolPathIntegrator):
 def volumetric_regen_backward(integrator, scene, seed, spp, sensor_idx,
                               dL_px, L_samples):
     """Regenerative volumetric PRB replay: backward twin of
-    volpath_regen_render (mono/rgb unpolarized).  Lanes restart on their
-    pixel's next sample with L reset to that sample's recorded primal
-    radiance; per-pixel adjoint dL_px is shared by all its samples.
+    volpath_regen_render.  Lanes restart on their pixel's next sample with L
+    reset to that sample's recorded primal radiance.  The per-pixel film
+    adjoint dL_px is pulled back through the flush conversion into each
+    regenerated sample's integrator domain:
+
+      rgb/mono    identity (flush is a plain sum)
+      polarized   R(cam_d)^T over the Stokes index (to_sensor_mueller is an
+                  orthogonal per-lane rotation)
+      spectral    vjp of the XYZ->sRGB(+clip) conversion at the sample's
+                  recorded primal radiance and regenerated hero wavelengths
+
     `integrator._regen_extra` state (e.g. volpathaos refractive memory) is
     reset on restart exactly like the primal driver."""
     from ..render_api import wavefront_for
     from ..integrators.path import lanes_rng, merge_rng
+    from ..render.spectrum_ops import get_ops
 
     film = scene.film
     n = film.crop_w * film.crop_h
     nc = scene.n_channels
+    ops = get_ops(scene.polarized)
+    spectral = nc == 4 and not scene.polarized
     max_depth = integrator.max_depth if integrator.max_depth > 0 else 64
     max_segments = integrator.max_segments or (max_depth + 8)
     pix = jnp.arange(n, dtype=jnp.uint32)
     scene_d = jax.lax.stop_gradient(scene)
-    dL = jax.lax.stop_gradient(dL_px)
+    dL_px = jax.lax.stop_gradient(dL_px)
     L_samples = jax.lax.stop_gradient(L_samples)
     extra0 = integrator._regen_extra(n, scene)
 
     def fresh(sidx):
         # identical draw order to volpath_regen_render.fresh
-        rng_f, ray_f, _, _, _ = wavefront_for(
+        rng_f, ray_f, wl_f, wlp_f, _ = wavefront_for(
             scene_d, seed, pix, sidx, jnp.uint32(spp), sensor_idx
         )
         rng_f = lanes_rng(rng_f, n)
         u_ch, _, rng_f = _next2(rng_f)
-        return rng_f, ray_f, sample_channel(u_ch, nc)
+        return rng_f, ray_f, sample_channel(u_ch, nc), wl_f, wlp_f
 
-    rng0, ray0, ch0 = fresh(jnp.zeros((n,), jnp.uint32))
+    def lane_dL(L_s, wl, wlp, cam_d):
+        """Pull dL_px back through the flush conversion for a fresh sample."""
+        if scene.polarized:
+            from ..render_api import sensor_stokes_rotation
+
+            R = sensor_stokes_rotation(cam_d)
+            return jnp.einsum("nji,ncj->nci", R, dL_px)
+        if spectral:
+            from ..core import spectrum as spec
+
+            def f(Lv):
+                xyz = spec.spectrum_to_xyz(Lv, wl, wlp)
+                return jnp.clip(spec.xyz_to_srgb(xyz), 0.0, None)
+
+            _, f_vjp = jax.vjp(f, L_s)
+            return f_vjp(dL_px)[0]
+        return dL_px
+
+    rng0, ray0, ch0, wl0, wlp0 = fresh(jnp.zeros((n,), jnp.uint32))
 
     state = dict(
         iters=jnp.asarray(0, jnp.int32),
         s_next=jnp.zeros((n,), jnp.uint32),
         depth=jnp.zeros((n,), jnp.int32),
         L=jnp.zeros_like(L_samples[:, 0]),
-        beta=jnp.ones((n, nc), jnp.float32),
+        beta=ops.one(n, nc),
+        dL=jnp.zeros_like(L_samples[:, 0]),
         ray_o=ray0.o,
         ray_d=ray0.d,
         medium=jnp.full((n,), scene.camera_medium, jnp.int32),
@@ -375,6 +408,11 @@ def volumetric_regen_backward(integrator, scene, seed, spp, sensor_idx,
         grad=zero_float_grads(scene),
         **extra0,
     )
+    if nc == 4:
+        # hero wavelengths ride the state in every spectral mode (incl.
+        # polarized), exactly like volpath_regen_render
+        state["wavelengths"] = wl0
+        state["wl_pdf"] = wlp0
 
     def cond(s):
         work = s["active"] | (s["s_next"] < jnp.uint32(spp))
@@ -382,7 +420,7 @@ def volumetric_regen_backward(integrator, scene, seed, spp, sensor_idx,
 
     def body(s):
         regen = (~s["active"]) & (s["s_next"] < jnp.uint32(spp))
-        rng_new, ray_new, ch_new = fresh(s["s_next"])
+        rng_new, ray_new, ch_new, wl_new, wlp_new = fresh(s["s_next"])
 
         def sel(a, b):
             m = regen
@@ -392,10 +430,10 @@ def volumetric_regen_backward(integrator, scene, seed, spp, sensor_idx,
 
         s_idx = jnp.minimum(s["s_next"], jnp.uint32(spp - 1))
         L_fresh = L_samples[jnp.arange(n), s_idx]
-        s = dict(
-            s,
+        upd = dict(
             L=sel(L_fresh, s["L"]),
-            beta=sel(jnp.ones_like(s["beta"]), s["beta"]),
+            beta=sel(ops.one(n, nc), s["beta"]),
+            dL=sel(lane_dL(L_fresh, wl_new, wlp_new, ray_new.d), s["dL"]),
             ray_o=sel(ray_new.o, s["ray_o"]),
             ray_d=sel(ray_new.d, s["ray_d"]),
             medium=sel(jnp.full((n,), scene.camera_medium, jnp.int32), s["medium"]),
@@ -409,7 +447,11 @@ def volumetric_regen_backward(integrator, scene, seed, spp, sensor_idx,
             s_next=jnp.where(regen, s["s_next"] + 1, s["s_next"]),
             **{k: sel(v, s[k]) for k, v in extra0.items()},
         )
-        s = integrator._bwd_bounce(scene_d, scene, None, dL, max_depth, s)
+        if nc == 4:
+            upd["wavelengths"] = sel(wl_new, s["wavelengths"])
+            upd["wl_pdf"] = sel(wlp_new, s["wl_pdf"])
+        s = dict(s, **upd)
+        s = integrator._bwd_bounce(scene_d, scene, None, None, max_depth, s)
         return dict(s, iters=s["iters"] + 1)
 
     out = jax.lax.while_loop(cond, body, state)

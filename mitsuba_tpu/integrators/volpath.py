@@ -537,12 +537,6 @@ def volpath_regen_render(integrator, scene, seed, spp, sensor_idx,
     spectral = nc == 4 and not scene.polarized
     if spectral and film.srfs:
         raise NotImplementedError("regeneration does not support specfilm yet")
-    if record_samples and (spectral or scene.polarized):
-        # the PRB regenerative replay consumes raw per-sample radiances;
-        # spectral/polarized flush conversion adjoints are not wired yet
-        raise NotImplementedError(
-            "record_samples (regenerative PRB) requires mono/rgb unpolarized"
-        )
 
     def fresh(sidx):
         rng_f, ray_f, wl_f, wlp_f, _ = wavefront_for(
@@ -601,8 +595,12 @@ def volpath_regen_render(integrator, scene, seed, spp, sensor_idx,
     if scene.polarized:
         state["cam_d"] = ray0.d
     if record_samples:
+        # raw integrator-domain radiance per (pixel, sample): [n, spp, C]
+        # unpolarized, [n, spp, C, 4] polarized Stokes
         state["cur_sample"] = jnp.zeros((n,), jnp.uint32)
-        state["L_samples"] = jnp.zeros((n, spp, nc), jnp.float32)
+        state["L_samples"] = jnp.zeros(
+            (n, spp) + state["L"].shape[1:], jnp.float32
+        )
 
     def cond(s):
         work = s["active"] | (s["s_next"] < jnp.uint32(spp))
@@ -646,11 +644,12 @@ def volpath_regen_render(integrator, scene, seed, spp, sensor_idx,
             upd["cam_d"] = sel(ray_new.d, s["cam_d"])
         if record_samples:
             # flushed radiance belongs to the sample the lane held BEFORE
-            # this regeneration (raw integrator-domain L: mono/rgb only)
+            # this regeneration (raw integrator-domain L)
             flush = regen & (s["s_next"] > 0)
+            fm = flush.reshape((n,) + (1,) * (s["L"].ndim - 1))
             upd["L_samples"] = s["L_samples"].at[
                 jnp.arange(n), s["cur_sample"]
-            ].add(jnp.where(flush[..., None], s["L"], 0.0))
+            ].add(jnp.where(fm, s["L"], 0.0))
             upd["cur_sample"] = jnp.where(regen, s["s_next"], s["cur_sample"])
         s = dict(s, **upd)
         s = integrator._bounce(scene, ops, None, max_depth, s)
@@ -665,7 +664,8 @@ def volpath_regen_render(integrator, scene, seed, spp, sensor_idx,
     )
     aux = {"n_rays": out["n_rays"], "wavefront_iters": out["iters"]}
     if record_samples:
+        sm = started.reshape((n,) + (1,) * (out["L"].ndim - 1))
         aux["L_samples"] = out["L_samples"].at[
             jnp.arange(n), out["cur_sample"]
-        ].add(jnp.where(started[..., None], out["L"], 0.0))
+        ].add(jnp.where(sm, out["L"], 0.0))
     return L_px, aux

@@ -223,14 +223,14 @@ def render(scene, params=None, sensor=0, seed=0, spp=None, spp_per_pass=None):
         volfam = hasattr(scene.integrator, "_bounce")
         supported = volfam or (scene.n_channels != 4 and not scene.polarized)
         if getattr(scene.integrator, "is_prb", False):
-            # differentiable regeneration needs a regen_backward replay and
-            # (for now) a mono/rgb unpolarized film domain — otherwise fall
-            # through to the plain (uncompacted) PRB pipeline below
-            if (
-                hasattr(scene.integrator, "regen_backward")
-                and scene.n_channels != 4
-                and not scene.polarized
-            ):
+            # differentiable regeneration needs a regen_backward replay; the
+            # volumetric drivers pull the film adjoint back through the
+            # in-loop flush conversion (sensor Stokes rotation / spectral
+            # sRGB), the surface driver is mono/rgb — otherwise fall through
+            # to the plain (uncompacted) PRB pipeline below
+            if hasattr(scene.integrator, "regen_backward") and (
+                volfam or (scene.n_channels != 4 and not scene.polarized)
+            ) and not film.srfs:
                 return _render_regen_prb(scene, jnp.uint32(seed), spp, sensor)
         elif supported:
             return _render_regen(scene, jnp.uint32(seed), spp, sensor)

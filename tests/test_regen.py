@@ -362,6 +362,73 @@ def test_prb_volpathaos_regen_grads_match_standard():
     assert np.abs(g_std).max() > 0
 
 
+def _vol_prb_scene(regen, spp):
+    return {
+        "type": "scene",
+        "integrator": {"type": "prbvolpath", "max_depth": 5,
+                       "regenerate": regen, "track_steps": 16, "nee_steps": 16},
+        "sensor": {
+            "type": "perspective", "fov": 45,
+            "to_world": [{"type": "look_at", "origin": [0, 0, 4],
+                          "target": [0, 0, 0], "up": [0, 1, 0]}],
+            "film": {"type": "hdrfilm", "width": 10, "height": 10,
+                     "rfilter": {"type": "box"}},
+            "sampler": {"type": "independent", "sample_count": spp},
+        },
+        "light": {"type": "constant", "radiance": 1.0},
+        "slab": {
+            "type": "cube",
+            "to_world": [{"type": "scale", "value": [1.2, 1.2, 0.5]}],
+            "bsdf": {"type": "null"},
+            "interior": {
+                "type": "homogeneous",
+                "sigma_t": 1.5,
+                "albedo": 0.9,
+                "phase": {"type": "rayleigh"},
+            },
+        },
+    }
+
+
+def _regen_vs_plain_grad(variant, key, spp=4, seed=17, rtol=1e-3):
+    import jax
+    from mitsuba_tpu.render.params import _tree_get, _tree_set
+
+    def grad_for(regen):
+        mi.set_variant(variant)
+        scene = mi.load_dict(_vol_prb_scene(regen, spp))
+        path = [p for k, p in scene.param_paths if k == key][0]
+        base = _tree_get(scene, path)
+
+        def loss(v):
+            img = mi.render(_tree_set(scene, path, v), spp=spp, seed=seed)
+            return img.mean()
+
+        g = np.asarray(jax.grad(loss)(base))
+        mi.set_variant("rgb")
+        return g
+
+    g_std = grad_for(False)
+    g_reg = grad_for(True)
+    np.testing.assert_allclose(g_reg, g_std, rtol=rtol, atol=1e-7)
+    assert np.abs(g_std).max() > 0
+
+
+def test_prbvolpath_regen_grads_spectral():
+    """Spectral film domain: the regen backward pulls the per-pixel sRGB
+    adjoint back through the XYZ conversion at each sample's recorded primal
+    radiance and hero wavelengths."""
+    _regen_vs_plain_grad("spectral", "slab.interior_medium.albedo.value.value")
+
+
+def test_prb_polarized_regen_grads():
+    """Polarized film domain: the regen backward rotates the per-pixel Stokes
+    adjoint back into each fresh camera ray's frame (R^T, orthogonal)."""
+    _regen_vs_plain_grad(
+        "mono_polarized", "slab.interior_medium.albedo.value.value"
+    )
+
+
 def test_volpath_regen_deep_budget_efficiency():
     """Optically thick slab at max_depth=32: the standard wavefront always
     executes spp * max_segments outer iterations; regeneration must need far
