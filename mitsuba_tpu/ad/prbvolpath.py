@@ -379,9 +379,22 @@ def volumetric_regen_backward(integrator, scene, seed, spp, sensor_idx,
         if spectral:
             from ..core import spectrum as spec
 
-            def f(Lv):
-                xyz = spec.spectrum_to_xyz(Lv, wl, wlp)
-                return jnp.clip(spec.xyz_to_srgb(xyz), 0.0, None)
+            if film.srfs:
+                def f(Lv):
+                    uv0 = jnp.zeros((Lv.shape[0], 2), jnp.float32)
+                    inv_pdf = 1.0 / jnp.maximum(wlp, 1e-12)
+                    return jnp.stack(
+                        [
+                            jnp.mean(srf.eval(uv0, wl, 4) * Lv * inv_pdf, -1)
+                            / norm
+                            for srf, norm in zip(film.srfs, film.srf_norms)
+                        ],
+                        axis=-1,
+                    )
+            else:
+                def f(Lv):
+                    xyz = spec.spectrum_to_xyz(Lv, wl, wlp)
+                    return jnp.clip(spec.xyz_to_srgb(xyz), 0.0, None)
 
             _, f_vjp = jax.vjp(f, L_s)
             return f_vjp(dL_px)[0]

@@ -535,8 +535,6 @@ def volpath_regen_render(integrator, scene, seed, spp, sensor_idx,
     max_segments = integrator.max_segments or (max_depth + 8)
     pix = jnp.arange(n, dtype=jnp.uint32)
     spectral = nc == 4 and not scene.polarized
-    if spectral and film.srfs:
-        raise NotImplementedError("regeneration does not support specfilm yet")
 
     def fresh(sidx):
         rng_f, ray_f, wl_f, wlp_f, _ = wavefront_for(
@@ -558,11 +556,25 @@ def volpath_regen_render(integrator, scene, seed, spp, sensor_idx,
         if spectral:
             from ..core import spectrum as spec
 
+            if film.srfs:
+                # specfilm: per-channel SRF contraction over the path's hero
+                # wavelengths (render() does this per pass; here per flush)
+                uv0 = jnp.zeros((L.shape[0], 2), jnp.float32)
+                inv_pdf = 1.0 / jnp.maximum(s["wl_pdf"], 1e-12)
+                return jnp.stack(
+                    [
+                        jnp.mean(
+                            srf.eval(uv0, s["wavelengths"], 4) * L * inv_pdf, -1
+                        ) / norm
+                        for srf, norm in zip(film.srfs, film.srf_norms)
+                    ],
+                    axis=-1,
+                )
             xyz = spec.spectrum_to_xyz(L, s["wavelengths"], s["wl_pdf"])
             return jnp.clip(spec.xyz_to_srgb(xyz), 0.0, None)
         return L
 
-    npx = 3 if spectral else nc
+    npx = (len(film.srfs) if film.srfs else 3) if spectral else nc
     L_px0 = (
         jnp.zeros((n, nc, 4), jnp.float32) if scene.polarized
         else jnp.zeros((n, npx), jnp.float32)

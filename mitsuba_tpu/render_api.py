@@ -230,7 +230,7 @@ def render(scene, params=None, sensor=0, seed=0, spp=None, spp_per_pass=None):
             # to the plain (uncompacted) PRB pipeline below
             if hasattr(scene.integrator, "regen_backward") and (
                 volfam or (scene.n_channels != 4 and not scene.polarized)
-            ) and not film.srfs:
+            ):
                 return _render_regen_prb(scene, jnp.uint32(seed), spp, sensor)
         elif supported:
             return _render_regen(scene, jnp.uint32(seed), spp, sensor)
