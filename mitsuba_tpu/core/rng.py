@@ -99,6 +99,82 @@ def _sobol02_bits(index):
     return x, y
 
 
+def _permute_kensler(i, l, p):
+    """Stateless pseudorandom permutation of [0, l) (Kensler 2013 hash
+    permute with power-of-two cycle walking; reference:
+    src/samplers/orthogonal.cpp permute_kensler usage).  `l` is a static
+    python int; returns uint32 in [0, l)."""
+    w = 1
+    while w < l:
+        w <<= 1
+    w = jnp.uint32(w - 1)
+    i = jnp.asarray(i, jnp.uint32)
+    p = jnp.asarray(p, jnp.uint32)
+
+    def mix(i):
+        i ^= p
+        i = i * jnp.uint32(0xE170893D)
+        i ^= p >> jnp.uint32(16)
+        i ^= (i & w) >> jnp.uint32(4)
+        i ^= p >> jnp.uint32(8)
+        i = i * jnp.uint32(0x0929EB3F)
+        i ^= p >> jnp.uint32(23)
+        i = i * jnp.uint32(1 | (p >> jnp.uint32(27)))
+        return i & w
+
+    i = mix(i)
+    for _ in range(3):
+        i = jnp.where(i >= l, mix(i), i)
+    return jnp.minimum(i, jnp.uint32(l - 1))
+
+
+def _bose_oa_1d(sidx, dim, pixel, seed, p_res, lane):
+    """Strength-2 orthogonal-array point via the Bose construction
+    (Jarosz et al. 2019; reference: src/samplers/orthogonal.cpp bose()).
+
+    For every dimension pair the per-pixel p_res^2 samples form a correlated
+    multi-jittered pattern; 1D projections are stratified into p_res strata
+    with exactly p_res samples each.  `p_res` is a static prime."""
+    n = p_res * p_res
+    # per-pixel (per-sequence) permutation seed
+    ps, _ = threefry2x32(seed, jnp.uint32(0x0A5EED0A), pixel, jnp.uint32(0))
+    i = _permute_kensler(jnp.asarray(sidx, jnp.uint32) % jnp.uint32(n), n, ps)
+    a0 = i // jnp.uint32(p_res)
+    a1 = i % jnp.uint32(p_res)
+    j = jnp.asarray(dim, jnp.uint32)
+    k = jnp.where((j & 1) > 0, j - 1, j + 1)
+    a_ij = (a0 + (j - 1) * a1) % jnp.uint32(p_res)
+    a_ik = (a0 + (k - 1) * a1) % jnp.uint32(p_res)
+    a_ij = jnp.where(j == 0, a0, jnp.where(j == 1, a1, a_ij))
+    a_ik = jnp.where(j == 0, a1, jnp.where(j == 1, a0, a_ik))
+    stratum = _permute_kensler(a_ij, p_res, ps * (j + 1) * jnp.uint32(0x51633E2D))
+    sub = _permute_kensler(a_ik, p_res, ps * (j + 1) * jnp.uint32(0x68BC21EB))
+    jit_bits, _ = threefry2x32(seed, jnp.uint32(0x9E3779B9), lane, dim)
+    jit = uniform_from_bits(jit_bits)
+    inv_p = jnp.float32(1.0 / p_res)
+    return (stratum.astype(jnp.float32)
+            + (sub.astype(jnp.float32) + jit) * inv_p) * inv_p
+
+
+def smallest_prime_resolution(spp):
+    """Smallest prime p with p*p >= spp (reference:
+    src/samplers/orthogonal.cpp set_sample_count)."""
+    def is_prime(x):
+        if x < 2:
+            return False
+        f = 2
+        while f * f <= x:
+            if x % f == 0:
+                return False
+            f += 1
+        return True
+
+    p = 2
+    while p * p < spp or not is_prime(p):
+        p += 1
+    return p
+
+
 class RNG:
     """Per-lane random stream with a dimension counter.
 
@@ -108,32 +184,39 @@ class RNG:
     a python/int scalar, and the dimension counter lives in user code (it is
     returned so callers can thread it through lax loops)."""
 
-    __slots__ = ("seed", "lane", "dim", "pixel", "sidx", "lds")
+    __slots__ = ("seed", "lane", "dim", "pixel", "sidx", "lds", "oa")
 
-    def __init__(self, seed, lane, dim=0, pixel=None, sidx=None, lds=False):
+    def __init__(self, seed, lane, dim=0, pixel=None, sidx=None, lds=False,
+                 oa=0):
         self.seed = jnp.asarray(seed, jnp.uint32)
         self.lane = jnp.asarray(lane, jnp.uint32)
         self.dim = jnp.asarray(dim, jnp.uint32)
         self.pixel = None if pixel is None else jnp.asarray(pixel, jnp.uint32)
         self.sidx = None if sidx is None else jnp.asarray(sidx, jnp.uint32)
         self.lds = bool(lds) and pixel is not None and sidx is not None
+        # orthogonal-array mode: static prime grid resolution (0 = off)
+        self.oa = int(oa) if pixel is not None and sidx is not None else 0
 
     def tree_flatten(self):
-        if self.lds:
-            return (self.seed, self.lane, self.dim, self.pixel, self.sidx), True
-        return (self.seed, self.lane, self.dim), False
+        if self.lds or self.oa:
+            return (
+                (self.seed, self.lane, self.dim, self.pixel, self.sidx),
+                (self.lds, self.oa),
+            )
+        return (self.seed, self.lane, self.dim), None
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         obj = cls.__new__(cls)
-        if aux:
+        if aux is not None:
             obj.seed, obj.lane, obj.dim, obj.pixel, obj.sidx = leaves
-            obj.lds = True
+            obj.lds, obj.oa = aux
         else:
             obj.seed, obj.lane, obj.dim = leaves
             obj.pixel = None
             obj.sidx = None
             obj.lds = False
+            obj.oa = 0
         return obj
 
     def _lds_pair(self):
@@ -150,9 +233,14 @@ class RNG:
         )
 
     def _clone(self, dim):
-        return RNG(self.seed, self.lane, dim, self.pixel, self.sidx, self.lds)
+        return RNG(self.seed, self.lane, dim, self.pixel, self.sidx, self.lds,
+                   self.oa)
 
     def next_1d(self):
+        if self.oa:
+            u = _bose_oa_1d(self.sidx, self.dim, self.pixel, self.seed,
+                            self.oa, self.lane)
+            return u, self._clone(self.dim + 1)
         if self.lds:
             # even dim -> first component of the pair, odd -> second
             u0, u1 = self._lds_pair()
@@ -162,6 +250,11 @@ class RNG:
         return uniform_from_bits(b0), RNG(self.seed, self.lane, self.dim + 1)
 
     def next_2d(self):
+        if self.oa:
+            # consecutive dims are jointly stratified by OA strength 2
+            u0, r = self.next_1d()
+            u1, r = r.next_1d()
+            return u0, u1, r
         if self.lds:
             # align to a fresh pair so both components stratify together
             dim = self.dim + (self.dim & 1)
@@ -177,7 +270,7 @@ class RNG:
         b0, _ = threefry2x32(self.seed, jnp.uint32(salt), self.lane, jnp.uint32(0xC0FFEE))
         return RNG(
             self.seed ^ jnp.uint32(salt) ^ jnp.uint32(0xA5A5A5A5), self.lane,
-            self.dim, self.pixel, self.sidx, self.lds,
+            self.dim, self.pixel, self.sidx, self.lds, self.oa,
         )
 
 

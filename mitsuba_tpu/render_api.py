@@ -58,7 +58,18 @@ def wavefront_for(scene, seed, pix, sidx, spp_total, sensor_idx):
     global_sample = pix * jnp.uint32(spp_total) + s_local
 
     stype = getattr(scene, "sampler_type", "independent")
-    if stype != "independent":
+    if stype == "orthogonal":
+        # strength-2 orthogonal array over ALL dimensions (Bose construction;
+        # reference: src/samplers/orthogonal.cpp) — every dim pair of a
+        # pixel's samples is a correlated multi-jittered pattern
+        from .core.rng import smallest_prime_resolution
+
+        rng = RNG(
+            seed, global_sample,
+            pixel=pix, sidx=s_local,
+            oa=smallest_prime_resolution(spp_total),
+        )
+    elif stype != "independent":
         # low-discrepancy path dimensions: every dim pair is an
         # Owen-scrambled (0,2)-sequence over the pixel's samples
         # (reference: src/samplers/*; core/rng.py LDS mode)
@@ -81,10 +92,13 @@ def wavefront_for(scene, seed, pix, sidx, spp_total, sensor_idx):
         from .render.samplers import stratified_2d
 
         u_film = stratified_2d(s_local, spp_total, u_film)
-    elif stype in ("multijitter", "orthogonal"):
+    elif stype == "multijitter":
         from .render.samplers import multijitter_2d
 
         u_film = multijitter_2d(s_local, spp_total, pix, seed)
+    elif stype == "orthogonal":
+        # dims 0-1 of the Bose OA already form the CMJ-style film pattern
+        pass
     elif stype in ("ldsampler", "sobol"):
         from .render.samplers import sobol_2d
 

@@ -70,3 +70,45 @@ def test_lds_render_deterministic():
     a = _render_cfg("sobol", 8, 5)
     b = _render_cfg("sobol", 8, 5)
     np.testing.assert_array_equal(a, b)
+
+
+def test_orthogonal_bose_stratification():
+    """True OA sampler (Bose strength-2; reference: src/samplers/
+    orthogonal.cpp): every dim's 1D projection over one pixel's p^2 samples
+    has exactly p samples per stratum, and every pair of independent OA
+    columns covers the p x p grid exactly once."""
+    from mitsuba_tpu.core.rng import smallest_prime_resolution
+
+    spp = 25
+    p = smallest_prime_resolution(spp)
+    assert p == 5
+    assert smallest_prime_resolution(17) == 5   # rounds up to 25
+    assert smallest_prime_resolution(4) == 2
+
+    pixel = jnp.full((spp,), 11, jnp.uint32)
+    sidx = jnp.arange(spp, dtype=jnp.uint32)
+    rng = RNG(9, jnp.arange(spp, dtype=jnp.uint32), pixel=pixel, sidx=sidx,
+              oa=p)
+    dims = []
+    for _ in range(6):
+        u, rng = rng.next_1d()
+        u = np.asarray(u)
+        assert (u >= 0).all() and (u < 1).all()
+        dims.append(u)
+    # 1D projections: p samples in each of the p strata, for every dim
+    for u in dims:
+        counts = np.bincount((u * p).astype(int), minlength=p)
+        assert (counts == p).all(), counts
+    # 2D projections: any two distinct OA columns (dims j, j' with
+    # (j-1) != (j'-1) mod p) hit each of the p*p coarse cells exactly once
+    for a, b in [(0, 1), (1, 2), (2, 3), (0, 4), (3, 5)]:
+        cells = set(zip((dims[a] * p).astype(int), (dims[b] * p).astype(int)))
+        assert len(cells) == spp, (a, b, len(cells))
+
+
+def test_orthogonal_render_runs():
+    img_oa = _render_cfg("orthogonal", 25, 0)
+    img_ind = _render_cfg("independent", 1024, 0)
+    assert np.isfinite(img_oa).all()
+    # unbiased: means agree within MC noise
+    assert abs(img_oa.mean() - img_ind.mean()) / img_ind.mean() < 0.05
