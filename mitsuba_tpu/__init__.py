@@ -38,3 +38,4 @@ from .utils.denoise import Denoiser, denoise  # noqa: E402
 OptixDenoiser = Denoiser  # reference-name alias (optixdenoiser.h wrapper)
 from .utils.io import Bitmap  # noqa: E402
 from .utils.observe import Log, LogLevel, set_log_level  # noqa: E402
+from .core.fresolver import FileResolver, file_resolver  # noqa: E402

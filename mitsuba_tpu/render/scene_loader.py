@@ -98,7 +98,7 @@ def parse_texture(spec, default=1.0, paths=None, prefix=None, emissive=False):
         if "data" in spec:
             data = jnp.asarray(spec["data"], jnp.float32)
         else:
-            data = jnp.asarray(_load_image(spec["filename"]), jnp.float32)
+            data = jnp.asarray(_load_image(_rfile(spec["filename"])), jnp.float32)
         if data.ndim == 2:
             data = data[..., None]
         return TX.BitmapTexture(data=data), "data"
@@ -161,6 +161,14 @@ def parse_texture(spec, default=1.0, paths=None, prefix=None, emissive=False):
         )
     raise ValueError(f"unknown texture/spectrum type {t!r}")
 
+
+
+def _rfile(fn):
+    """Resolve a scene-resource filename through the process file resolver
+    (reference: fresolver.cpp; xml.cpp resolves every `filename` property)."""
+    from ..core.fresolver import file_resolver
+
+    return file_resolver().resolve(str(fn))
 
 def _load_image(filename):
     fn = str(filename)
@@ -361,12 +369,12 @@ def parse_bsdf(spec, name, paths):
     if t == "measured":
         from .bsdf_measured import MeasuredBSDF
 
-        return MeasuredBSDF.from_file(spec["filename"])
+        return MeasuredBSDF.from_file(_rfile(spec["filename"]))
     if t == "measured_polarized":
         from .bsdf_measured_polarized import MeasuredPolarizedBSDF
 
         return MeasuredPolarizedBSDF.from_file(
-            spec["filename"],
+            _rfile(spec["filename"]),
             alpha_sample=float(spec.get("alpha_sample", 0.1)),
             wavelength=float(spec.get("wavelength", -1.0)),
         )
@@ -678,7 +686,7 @@ def load_dict(d):
                 m["shape_index"] = shape_index
                 tri_meshes.append(m)
             elif t in ("obj", "ply"):
-                m = _load_mesh_native(t, spec["filename"], to_world)
+                m = _load_mesh_native(t, _rfile(spec["filename"]), to_world)
                 m["shape_index"] = shape_index
                 tri_meshes.append(m)
             elif t in ("mesh", "blender"):
@@ -710,7 +718,7 @@ def load_dict(d):
                     cps = np.asarray(spec["control_points"], np.float32)
                     curves = [cps] if cps.ndim == 2 else list(cps)
                 else:
-                    curves = SH.load_curve_file(spec["filename"])
+                    curves = SH.load_curve_file(_rfile(spec["filename"]))
                 m = SH.make_curve_tube(
                     curves,
                     kind="bspline" if t == "bsplinecurve" else "linear",
@@ -726,7 +734,7 @@ def load_dict(d):
                 else:
                     from .volumes import load_vol_file
 
-                    grid = load_vol_file(spec["filename"])
+                    grid = load_vol_file(_rfile(spec["filename"]))
                     if grid.ndim == 4:
                         grid = grid[..., 0]
                 # to_world maps the [0,1]^3 grid to the world; traversal
@@ -791,7 +799,7 @@ def load_dict(d):
                 )
             elif t == "serialized":
                 m = _load_serialized(
-                    spec["filename"], int(spec.get("shape_index", 0)), to_world
+                    _rfile(spec["filename"]), int(spec.get("shape_index", 0)), to_world
                 )
                 m["shape_index"] = shape_index
                 tri_meshes.append(m)
@@ -970,7 +978,7 @@ def load_dict(d):
             if "data" in spec:
                 data = np.asarray(spec["data"], np.float32)
             else:
-                data = _load_image(spec["filename"]).astype(np.float32)
+                data = _load_image(_rfile(spec["filename"])).astype(np.float32)
             row_cdf, cond_cdf = E.build_envmap_tables(data, 1.0)
             rot = np.asarray(build_transform(spec.get("to_world", Transform.identity())).m)[:3, :3]
             emitters.append(

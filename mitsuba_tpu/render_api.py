@@ -292,6 +292,66 @@ def render(scene, params=None, sensor=0, seed=0, spp=None, spp_per_pass=None):
     return acc / spp
 
 
+def render_progressive(scene, sensor=0, seed=0, spp=None, spp_per_pass=None):
+    """Generator over multi-pass rendering: yields (spp_done, partial_image)
+    after every pass, the partial image being the current unbiased estimate.
+
+    TPU-native analog of the reference CLI's progressive behavior — the
+    SIGHUP handler develops and writes the partially rendered film
+    (reference: src/mitsuba/mitsuba.cpp:142-150) and Integrator::render's
+    per-pass block accumulation (integrator.cpp:277-358).  Integrator
+    families with single-launch drivers (ptracer/projective/regenerative)
+    yield once with the full image."""
+    spp = spp or scene.spp
+    spp_per_pass = min(spp_per_pass or max(1, spp // 8), spp)
+    single_shot = (
+        getattr(scene.integrator, "is_ptracer", False)
+        or getattr(scene.integrator, "is_projective", False)
+        or getattr(scene.integrator, "regenerate", False)
+    )
+    if single_shot:
+        yield spp, render(scene, sensor=sensor, seed=seed, spp=spp)
+        return
+    film = scene.film
+    use_prb = getattr(scene.integrator, "is_prb", False)
+    acc = None
+    done = 0
+    while done < spp:
+        this_spp = min(spp_per_pass, spp - done)
+        aux = {}
+        if use_prb:
+            L = _prb_pass_jit(scene, jnp.uint32(seed), done, this_spp, spp, sensor)
+            wavelengths = wl_pdf = None
+            if scene.n_channels == 4:
+                _, _, wavelengths, wl_pdf, _ = make_wavefront(
+                    scene, jnp.uint32(seed), 0, _pass_lanes(film, this_spp),
+                    done, this_spp, spp, sensor,
+                )
+        else:
+            L, wavelengths, wl_pdf, aux = _render_pass(
+                scene, jnp.uint32(seed), done, this_spp, spp, sensor
+            )
+        if scene.n_channels == 4 and wavelengths is not None and not scene.polarized:
+            if film.srfs:
+                uv0 = jnp.zeros((L.shape[0], 2), jnp.float32)
+                inv_pdf = 1.0 / jnp.maximum(jax.lax.stop_gradient(wl_pdf), 1e-12)
+                L = jnp.stack(
+                    [
+                        jnp.mean(srf.eval(uv0, wavelengths, 4) * L * inv_pdf, -1)
+                        / norm
+                        for srf, norm in zip(film.srfs, film.srf_norms)
+                    ],
+                    axis=-1,
+                )
+            else:
+                xyz = spec.spectrum_to_xyz(L, wavelengths, jax.lax.stop_gradient(wl_pdf))
+                L = jnp.clip(spec.xyz_to_srgb(xyz), 0.0, None)
+        img = develop(film, L, this_spp, jitter=aux.get("film_jitter"))
+        acc = img * this_spp if acc is None else acc + img * this_spp
+        done += this_spp
+        yield done, acc / done
+
+
 @partial(jax.jit, static_argnames=("spp", "sensor_idx"))
 def _render_regen_pass(scene, seed, spp, sensor_idx):
     scene = scene.replace(geometry=scene.geometry.refresh())

@@ -84,7 +84,15 @@ def _node_to_dict(node, defaults, base_dir):
         elif tag == "string":
             val = _parse_value(child.get("value"), defaults)
             if name == "filename" and not os.path.isabs(val):
-                val = os.path.join(base_dir, val)
+                cand = os.path.join(base_dir, val)
+                if os.path.exists(cand):
+                    val = cand
+                else:
+                    # fall back to the resolver's search paths (reference:
+                    # fresolver.cpp; CLI -a appends entries)
+                    from .core.fresolver import file_resolver
+
+                    val = file_resolver().resolve(val)
             d[name] = val
         elif tag in ("point", "vector"):
             d[name] = _xyz(child, 0.0)
