@@ -139,7 +139,22 @@ def tri_intersect(tri_table, n_tri, o, d, maxt):
     return _tri_intersect_impl(tri_table, n_tri, o, d, maxt)
 
 
+def _use_mxu():
+    import os
+
+    return os.environ.get("MI_TPU_MXU_INTERSECT", "0") == "1"
+
+
 def _tri_intersect_impl(tri_table, n_tri, o, d, maxt):
+    if _use_mxu():
+        # MXU matmul formulation (ops/intersect_mxu.py): same contract,
+        # determinants on the systolic array instead of the VPU
+        from .intersect_mxu import build_mxu_cols, mxu_intersect
+
+        cols = build_mxu_cols(
+            tri_table[:, 0:3], tri_table[:, 3:6], tri_table[:, 6:9]
+        )
+        return mxu_intersect(cols, o, d, maxt)
     n = o.shape[0]
     pad = (-n) % BLOCK
     npad = n + pad
