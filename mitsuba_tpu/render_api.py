@@ -207,16 +207,23 @@ def _render_pass(scene, seed, pass_base, spp_pass, spp_total, sensor_idx):
     )
 
 
-def render(scene, params=None, sensor=0, seed=0, spp=None, spp_per_pass=None):
+def render(scene, params=None, sensor=0, seed=0, spp=None, spp_per_pass=None,
+           seed_grad=None):
     """Render to an image tensor [H, W, C] (reference: mi.render,
     util.py:512-626).  `params` accepts a SceneParameters whose scene is then
-    rendered (mirroring the reference's signature)."""
+    rendered (mirroring the reference's signature).  `seed_grad` seeds the
+    differential phase of PRB backward passes; it defaults to a TEA hash of
+    `seed` so the primal and gradient estimates are decorrelated (reference:
+    util.py:617-622 — correlated seeds bias nonlinear-loss optimization)."""
     if params is not None and hasattr(params, "scene"):
         scene = params.scene
     film = scene.film
     spp = spp or scene.spp
     spp_per_pass = min(spp_per_pass or spp, spp)
     n_passes = (spp + spp_per_pass - 1) // spp_per_pass
+    from .ad.render_ad import derive_seed_grad
+
+    seed_grad = derive_seed_grad(seed, seed_grad)
 
     if getattr(scene.integrator, "is_ptracer", False):
         return _render_ptracer(scene, seed, spp, sensor)
@@ -245,7 +252,9 @@ def render(scene, params=None, sensor=0, seed=0, spp=None, spp_per_pass=None):
             if hasattr(scene.integrator, "regen_backward") and (
                 volfam or (scene.n_channels != 4 and not scene.polarized)
             ):
-                return _render_regen_prb(scene, jnp.uint32(seed), spp, sensor)
+                return _render_regen_prb(
+                    scene, jnp.uint32(seed), seed_grad, spp, sensor
+                )
         elif supported:
             return _render_regen(scene, jnp.uint32(seed), spp, sensor)
 
@@ -255,15 +264,13 @@ def render(scene, params=None, sensor=0, seed=0, spp=None, spp_per_pass=None):
         this_spp = min(spp_per_pass, spp - p * spp_per_pass)
         aux = {}
         if use_prb:
-            # PRB custom-vjp boundary (reference: _RenderOp, util.py:356-408)
-            L = _prb_pass_jit(scene, jnp.uint32(seed), p * spp_per_pass, this_spp, spp, sensor)
-            if scene.n_channels == 4:
-                _, _, wavelengths, wl_pdf, _ = make_wavefront(
-                    scene, jnp.uint32(seed), 0, _pass_lanes(film, this_spp),
-                    p * spp_per_pass, this_spp, spp, sensor,
-                )
-            else:
-                wavelengths = wl_pdf = None
+            # PRB custom-vjp boundary (reference: _RenderOp, util.py:356-408);
+            # spectral contraction + sensor Stokes rotation happen inside it
+            L = _prb_pass_jit(
+                scene, jnp.uint32(seed), seed_grad, p * spp_per_pass, this_spp,
+                spp, sensor,
+            )
+            wavelengths = wl_pdf = None
         else:
             L, wavelengths, wl_pdf, aux = _render_pass(
                 scene, jnp.uint32(seed), p * spp_per_pass, this_spp, spp, sensor
@@ -320,13 +327,13 @@ def render_progressive(scene, sensor=0, seed=0, spp=None, spp_per_pass=None):
         this_spp = min(spp_per_pass, spp - done)
         aux = {}
         if use_prb:
-            L = _prb_pass_jit(scene, jnp.uint32(seed), done, this_spp, spp, sensor)
+            from .ad.render_ad import derive_seed_grad
+
+            L = _prb_pass_jit(
+                scene, jnp.uint32(seed), derive_seed_grad(seed), done, this_spp,
+                spp, sensor,
+            )
             wavelengths = wl_pdf = None
-            if scene.n_channels == 4:
-                _, _, wavelengths, wl_pdf, _ = make_wavefront(
-                    scene, jnp.uint32(seed), 0, _pass_lanes(film, this_spp),
-                    done, this_spp, spp, sensor,
-                )
         else:
             L, wavelengths, wl_pdf, aux = _render_pass(
                 scene, jnp.uint32(seed), done, this_spp, spp, sensor
@@ -373,13 +380,13 @@ def _render_regen(scene, seed, spp, sensor_idx):
 
 
 @partial(jax.jit, static_argnames=("spp", "sensor_idx"))
-def _render_regen_prb(scene, seed, spp, sensor_idx):
+def _render_regen_prb(scene, seed, seed_grad, spp, sensor_idx):
     """Differentiable regenerative render: the PRB custom-vjp boundary sits
     at the per-pixel sample sum (ad/render_ad.py prb_regen_px)."""
     from .ad.render_ad import prb_regen_px
 
     scene = scene.replace(geometry=scene.geometry.refresh())
-    L_px = prb_regen_px(scene, seed, spp, sensor_idx)
+    L_px = prb_regen_px(scene, seed, seed_grad, spp, sensor_idx)
     return develop(scene.film, L_px, 1) / float(spp)
 
 
@@ -400,11 +407,11 @@ def _render_ptracer(scene, seed, spp, sensor_idx):
     return _ptracer_pass(scene, jnp.uint32(seed), spp, sensor_idx)
 
 
-def _prb_pass_jit(scene, seed, pass_base, spp_pass, spp_total, sensor_idx):
+def _prb_pass_jit(scene, seed, seed_grad, pass_base, spp_pass, spp_total, sensor_idx):
     from .ad.render_ad import prb_pass
 
-    return jax.jit(prb_pass, static_argnums=(2, 3, 4, 5))(
-        scene, seed, pass_base, spp_pass, spp_total, sensor_idx
+    return jax.jit(prb_pass, static_argnums=(3, 4, 5, 6))(
+        scene, seed, seed_grad, pass_base, spp_pass, spp_total, sensor_idx
     )
 
 
