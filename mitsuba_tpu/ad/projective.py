@@ -442,11 +442,11 @@ def _pr_bwd(spp, sensor_idx, sppp, sppi, res, d_img):
     # radiative_backprop, common.py:1539-1549)
     if getattr(scene.integrator.base, "is_prb", False):
         from ..render.film import develop
-        from .render_ad import prb_pass
+        from .render_ad import derive_seed_grad, prb_pass
 
         def cont(s):
             s2 = s.replace(integrator=s.integrator.base)
-            L = prb_pass(s2, seed, 0, spp, spp, sensor_idx)
+            L = prb_pass(s2, seed, derive_seed_grad(seed), 0, spp, spp, sensor_idx)
             return develop(s.film, L, spp)
     else:
         cont = lambda s: _primal_image(s, seed, spp, sensor_idx)

@@ -27,15 +27,20 @@ import jax.numpy as jnp
 from .prb import FLOAT0, assemble_scene_cotangent
 
 
-def _postprocess(scene, L, ray_d, wavelengths, wl_pdf):
+def _postprocess(scene, L, ray_d, wavelengths, wl_pdf, raw=False):
     """Per-lane measurement conversion applied inside the vjp boundary:
     polarized sensor Stokes rotation (reference: to_sensor_mueller,
     common.py:304-326) and spectral contraction (specfilm SRF channels /
-    XYZ->sRGB, reference: specfilm.cpp + integrator.cpp:1189)."""
+    XYZ->sRGB, reference: specfilm.cpp + integrator.cpp:1189).  With
+    raw=True the spectral contraction is skipped (render_1/render_test
+    return raw wavelength channels, reference common.py:113-196) while the
+    sensor Stokes rotation still applies (common.py:160-161)."""
     if scene.polarized and L.ndim == 3:
         from ..render_api import to_sensor_mueller
 
         return to_sensor_mueller(jax.lax.stop_gradient(ray_d), L)
+    if raw:
+        return L
     if scene.n_channels == 4 and wavelengths is not None and not scene.polarized:
         from ..core import spectrum as spec
 
@@ -55,9 +60,10 @@ def _postprocess(scene, L, ray_d, wavelengths, wl_pdf):
     return L
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def prb_pass_lanes(
-    scene, seed, seed_grad, lane0, n, pass_base, spp_pass, spp_total, sensor_idx
+    scene, seed, seed_grad, lane0, n, pass_base, spp_pass, spp_total, sensor_idx,
+    raw=False,
 ):
     """Measurement [n, C] for lanes [lane0, lane0+n) with PRB gradients w.r.t.
     scene parameters.  `lane0` is traced, so one compile serves every chip of
@@ -72,19 +78,21 @@ def prb_pass_lanes(
     )
     active = jnp.ones((n,), bool)
     L, _ = scene.integrator.sample(scene, rng, ray, wavelengths, active)
-    return _postprocess(scene, L, ray.d, wavelengths, wl_pdf)
+    return _postprocess(scene, L, ray.d, wavelengths, wl_pdf, raw)
 
 
 def _prb_pass_lanes_fwd(
-    scene, seed, seed_grad, lane0, n, pass_base, spp_pass, spp_total, sensor_idx
+    scene, seed, seed_grad, lane0, n, pass_base, spp_pass, spp_total, sensor_idx,
+    raw=False,
 ):
     L = prb_pass_lanes(
-        scene, seed, seed_grad, lane0, n, pass_base, spp_pass, spp_total, sensor_idx
+        scene, seed, seed_grad, lane0, n, pass_base, spp_pass, spp_total, sensor_idx,
+        raw,
     )
     return L, (scene, seed_grad, lane0)
 
 
-def _prb_pass_lanes_bwd(n, pass_base, spp_pass, spp_total, sensor_idx, res, dL):
+def _prb_pass_lanes_bwd(n, pass_base, spp_pass, spp_total, sensor_idx, raw, res, dL):
     """Reference render_backward (common.py:828-983): fresh primal pass at
     seed_grad -> L', pull the film adjoint back through the measurement
     conversion evaluated on the NEW lanes, then replay those same paths."""
@@ -98,7 +106,9 @@ def _prb_pass_lanes_bwd(n, pass_base, spp_pass, spp_total, sensor_idx, res, dL):
     L_raw, _ = scene.integrator.sample(scene, rng, ray, wavelengths, active)
     L_raw = jax.lax.stop_gradient(L_raw)
     # adjoint of the (linear-in-L) measurement conversion at the new lanes
-    _, pull = jax.vjp(lambda Lr: _postprocess(scene, Lr, ray.d, wavelengths, wl_pdf), L_raw)
+    _, pull = jax.vjp(
+        lambda Lr: _postprocess(scene, Lr, ray.d, wavelengths, wl_pdf, raw), L_raw
+    )
     (dL_path,) = pull(dL)
     grads = scene.integrator.sample_backward(
         scene, rng, ray, wavelengths, dL_path, L_raw, active
@@ -115,22 +125,31 @@ prb_pass_lanes.defvjp(_prb_pass_lanes_fwd, _prb_pass_lanes_bwd)
 
 def derive_seed_grad(seed, seed_grad=None):
     """Default differential-phase seed: TEA hash of the primal seed
-    (reference: util.py:617-619 `seed_grad = mi.sample_tea_32(seed, 1)[0]`)."""
+    (reference: util.py:617-619 `seed_grad = mi.sample_tea_32(seed, 1)[0]`).
+    An explicit seed_grad equal to seed is rejected — correlated primal and
+    differential sampling biases nonlinear-loss gradients (reference raises,
+    util.py:620-622)."""
     if seed_grad is not None:
+        if isinstance(seed, int) and isinstance(seed_grad, int) and seed == seed_grad:
+            raise ValueError(
+                "seed_grad must differ from seed: the primal and differential "
+                "phases must be decorrelated (reference: util.py:620-622)"
+            )
         return jnp.uint32(seed_grad)
     from ..core.rng import sample_tea_32
 
-    return sample_tea_32(jnp.uint32(seed), jnp.uint32(1))
+    return sample_tea_32(jnp.uint32(seed), jnp.uint32(1))[0]
 
 
-def prb_pass(scene, seed, seed_grad, pass_base, spp_pass, spp_total, sensor_idx):
+def prb_pass(scene, seed, seed_grad, pass_base, spp_pass, spp_total, sensor_idx,
+             raw=False):
     """Full-film PRB pass (all lanes of one wavefront)."""
     from ..render_api import _pass_lanes
 
     n = _pass_lanes(scene.film, spp_pass)
     return prb_pass_lanes(
         scene, seed, seed_grad, jnp.uint32(0), n, pass_base, spp_pass, spp_total,
-        sensor_idx,
+        sensor_idx, raw,
     )
 
 

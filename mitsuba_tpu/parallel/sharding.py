@@ -72,10 +72,11 @@ def _lane_render(scene, seed, lane0, n_local, spp, sensor):
     custom-vjp replay (reference: _RenderOp -> render_backward,
     util.py:356-408) and plain integrators through tape AD."""
     if getattr(scene.integrator, "is_prb", False):
-        from ..ad.render_ad import prb_pass_lanes
+        from ..ad.render_ad import derive_seed_grad, prb_pass_lanes
 
         return prb_pass_lanes(
-            scene, jnp.uint32(seed), lane0, n_local, 0, spp, spp, sensor
+            scene, jnp.uint32(seed), derive_seed_grad(seed), lane0, n_local, 0,
+            spp, spp, sensor,
         )
     L, _, _, _ = render_lanes(
         scene, jnp.uint32(seed), lane0, n_local, 0, spp, spp, sensor

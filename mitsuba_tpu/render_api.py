@@ -407,11 +407,12 @@ def _render_ptracer(scene, seed, spp, sensor_idx):
     return _ptracer_pass(scene, jnp.uint32(seed), spp, sensor_idx)
 
 
-def _prb_pass_jit(scene, seed, seed_grad, pass_base, spp_pass, spp_total, sensor_idx):
+def _prb_pass_jit(scene, seed, seed_grad, pass_base, spp_pass, spp_total, sensor_idx,
+                  raw=False):
     from .ad.render_ad import prb_pass
 
-    return jax.jit(prb_pass, static_argnums=(3, 4, 5, 6))(
-        scene, seed, seed_grad, pass_base, spp_pass, spp_total, sensor_idx
+    return jax.jit(prb_pass, static_argnums=(3, 4, 5, 6, 7))(
+        scene, seed, seed_grad, pass_base, spp_pass, spp_total, sensor_idx, raw
     )
 
 
@@ -424,7 +425,14 @@ def render_1(scene, params=None, sensor=0, seed=0, spp=None):
         scene = params.scene
     spp = spp or scene.spp
     if getattr(scene.integrator, "is_prb", False):
-        L = _prb_pass_jit(scene, jnp.uint32(seed), 0, spp, spp, sensor)
+        from .ad.render_ad import derive_seed_grad
+
+        # raw=True: render_1 returns the raw wavelength channels (a Spectrum,
+        # reference common.py:113-196), not the sRGB-contracted image values
+        L = _prb_pass_jit(
+            scene, jnp.uint32(seed), derive_seed_grad(seed), 0, spp, spp, sensor,
+            raw=True,
+        )
     else:
         L, wavelengths, wl_pdf, _ = _render_pass(scene, jnp.uint32(seed), 0, spp, spp, sensor)
     if scene.polarized:
@@ -444,7 +452,12 @@ def render_test(scene, params=None, sensor=0, seed=0, spp=None, sensor_count=1):
     film = scene.film
     spp = spp or scene.spp
     if getattr(scene.integrator, "is_prb", False):
-        L = _prb_pass_jit(scene, jnp.uint32(seed), 0, spp, spp, sensor)
+        from .ad.render_ad import derive_seed_grad
+
+        L = _prb_pass_jit(
+            scene, jnp.uint32(seed), derive_seed_grad(seed), 0, spp, spp, sensor,
+            raw=True,
+        )
     else:
         L, wavelengths, wl_pdf, _ = _render_pass(scene, jnp.uint32(seed), 0, spp, spp, sensor)
     sub_w = film.width // sensor_count

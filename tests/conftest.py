@@ -14,6 +14,15 @@ if "backend_optimization_level" not in flags:
     flags = (flags + " --xla_backend_optimization_level=1").strip()
 os.environ["XLA_FLAGS"] = flags
 
+# The axon sitecustomize hook imports jax at interpreter startup with
+# JAX_PLATFORMS=axon already in the environment, so the os.environ writes
+# above are too late for jax's own config snapshot.  Backends initialize
+# lazily, so forcing the config value here (before any test touches a
+# device) still pins the whole suite to the virtual CPU mesh.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
 
 

@@ -70,7 +70,9 @@ def test_prb_sharded_grad_matches_unsharded_prb_grad():
         s2 = scene
         for p, v in zip(paths, theta):
             s2 = _tree_set(s2, p, v)
-        L = prb_pass(s2, jnp.uint32(0), 0, spp, spp, 0)
+        from mitsuba_tpu.ad.render_ad import derive_seed_grad
+
+        L = prb_pass(s2, jnp.uint32(0), derive_seed_grad(0), 0, spp, spp, 0)
         return jnp.sum((L - target) ** 2) / n
 
     theta0 = tuple(_tree_get(scene, p) for p in paths)
