@@ -90,8 +90,11 @@ def main():
         jax.block_until_ready(g)
         dt = time.perf_counter() - t0
         best_ad = dt if best_ad is None else min(best_ad, dt)
-    # fwd pass rays + replay pass rays (backward streams the same paths)
-    ad_rays = 2.0 * fwd_rays
+    # One PRB gradient iteration streams THREE ray passes (reference
+    # render_backward, common.py:828-983: the backward runs its own primal
+    # at seed_grad, then the replay over those same paths; plus the forward
+    # render's pass): rays = fwd + primal@seed_grad + replay ~= 3x fwd.
+    ad_rays = 3.0 * fwd_rays
     ad_mrays = ad_rays / best_ad / 1e6
 
     # ---- big-mesh forward config (Pallas BVH path) ----

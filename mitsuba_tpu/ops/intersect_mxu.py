@@ -36,10 +36,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_RAYS = 512
+BLOCK_RAYS = 1024   # ROWS=8: Pallas requires >=8 sublanes per output block
 ROWS = BLOCK_RAYS // 128
 K_FEAT = 16            # 10 geometry dims + maxt + pad, to a sublane multiple
-MAX_MXU_TRIS = 1024    # [B, 4T] epilogue block: 512*4096*4B = 8 MB VMEM
+MAX_MXU_TRIS = 512     # [B, 4T] epilogue block: 1024*2048*4B = 8 MB VMEM
 
 
 def build_mxu_cols(tri_v0, tri_e1, tri_e2):

@@ -1058,6 +1058,11 @@ def load_dict(d):
 
     integrator = make_integrator(integrator_spec)
 
+    if geometry.has_bvh:
+        # tiled lane order: compact per-block pixel footprints for the
+        # block-shared BVH traversal kernel (see Film.tiled)
+        film = film.replace(tiled=True)
+
     emitter_pmf = None
     if emitter_sampler == "power" and len(emitters) > 1:
         emitter_pmf = jnp.asarray(

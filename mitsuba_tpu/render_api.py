@@ -54,6 +54,14 @@ def wavefront_for(scene, seed, pix, sidx, spp_total, sensor_idx):
     (lanes restart at their own sample indices mid-loop)."""
     film = scene.film
     sensor = scene.sensors[sensor_idx]
+    from .render.film import film_tiled, seq_to_pixel
+
+    if film_tiled(film):
+        # tiled lane order for BVH scenes (film.py Film.tiled): callers pass
+        # sequential indices; the true pixel id is the tile-order target.
+        # RNG below is keyed by the TRUE pixel, so per-sample values are
+        # identical to the scanline order and develop() inverts the layout.
+        pix = seq_to_pixel(film, pix)
     s_local = sidx
     global_sample = pix * jnp.uint32(spp_total) + s_local
 
@@ -461,6 +469,9 @@ def render_test(scene, params=None, sensor=0, seed=0, spp=None, sensor_count=1):
     else:
         L, wavelengths, wl_pdf, _ = _render_pass(scene, jnp.uint32(seed), 0, spp, spp, sensor)
     sub_w = film.width // sensor_count
+    from .render.film import to_pixel_major
+
+    L = to_pixel_major(film, L, spp)
     if scene.polarized:
         c = L.shape[-2]
         img = L.reshape(film.height, sensor_count, sub_w, spp, c, 4)
