@@ -35,15 +35,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .intersect import mt_vjp
 
+import os
+
 BLOCK_ROWS = 8
 LANES = 128
 BLOCK = BLOCK_ROWS * LANES
-MAX_WIDE_LEAF = 64          # must match the builder call in render/shapes.py
+# builder leaf width (must match the build_bvh_wide call in render/shapes.py;
+# payload packs count in 8 bits, so <= 255).  Env-tunable for benchmarking.
+MAX_WIDE_LEAF = int(os.environ.get("MI_BVH_LEAF", "64"))
 INT_BIG = 0x7FFFFFF0    # sentinel for the prim-id argmin select
 
 
 WBUF = MAX_WIDE_LEAF + 8       # 8-aligned leaf DMA window, rows
-NWIN = 16                      # traversal window: nodes tested per batch
+# traversal window: nodes tested per batch (<= 32: hit bits pack in one i32)
+NWIN = min(int(os.environ.get("MI_BVH_NWIN", "16")), 32)
 LFLUSH = 16                    # leaf-list capacity between sweep flushes
 
 
