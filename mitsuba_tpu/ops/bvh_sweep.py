@@ -47,29 +47,37 @@ INT_BIG = 0x7FFFFFF0    # sentinel for the prim-id argmin select
 
 
 WBUF = MAX_WIDE_LEAF + 8       # 8-aligned leaf DMA window, rows
-# traversal window: nodes tested per batch (<= 32: hit bits pack in one i32)
-NWIN = min(int(os.environ.get("MI_BVH_NWIN", "16")), 32)
-LFLUSH = 16                    # leaf-list capacity between sweep flushes
+# traversal window: nodes slab-tested per batch (A/B'd 8/16/32 on a 200k-tri
+# mesh: 32 best for incoherent wavefronts, equal for primary tiles)
+NWIN = int(os.environ.get("MI_BVH_NWIN", "32"))
+# leaf-list capacity between sweep flushes
+LFLUSH = int(os.environ.get("MI_BVH_LFLUSH", "16"))
 
 
 def _kernel(T_pad, anyhit, nbox_ref, nmeta_ref, tri_ref,
             ox, oy, oz, dx, dy, dz, mt,
             t_out, p_out, u_out, v_out,
-            leaf_buf, leaf_pl, leaf_sem):
-    """Windowed block traversal with interleaved chunked sweeps.
+            leaf_buf, leaf_pl, leaf_rm, rmask, leaf_sem):
+    """Windowed block traversal with interleaved chunked sweeps and per-ROW
+    (128-lane sublane row) hit masks.
 
     The while_loop's per-iteration scalar sync (~500 cycles measured) made
     one-node-per-step traversal the bottleneck, so each iteration:
 
       1. slab-tests a WINDOW of NWIN consecutive DFS-order nodes against the
-         whole [8, 128] ray block (vector work only), packing the per-node
-         any-hit bits into ONE scalar via a lane-max + sublane-sum reduction;
-      2. walks the window's bits with pure scalar ops (SMEM skip links),
-         appending hit leaves to a small SMEM list;
+         whole [8, 128] ray block (vector work only), reducing each node's
+         hits to an 8-bit ROW mask (lane-max of 1<<row, then a sublane sum
+         that ORs the distinct powers) stored in SMEM;
+      2. walks the window's masks with pure scalar ops (SMEM skip links),
+         appending hit leaves AND their row masks to small SMEM lists;
       3. when the list fills (LFLUSH) or traversal ends, sweeps the listed
-         leaves with double-buffered DMA of their [WBUF, 128] HBM windows,
-         updating the best-hit state in the output refs — so later windows
-         prune against the tightened best-t.
+         leaves with double-buffered DMA of their [WBUF, 128] HBM windows —
+         sweeping ONLY the rows whose mask bit is set.  For incoherent
+         (bounce/shadow) wavefronts a leaf is typically needed by ~1.1 of
+         the block's 8 rows (measured, 200k-tri mesh), so row gating cuts
+         the dominant sweep cost ~7x while keeping ONE shared scalar walk.
+         Sweeps update the output refs, so later windows prune against the
+         tightened best-t.
     """
     o_x = ox[...]
     o_y = oy[...]
@@ -105,10 +113,13 @@ def _kernel(T_pad, anyhit, nbox_ref, nmeta_ref, tri_ref,
 
     def _sweep_leaf(i, slot):
         """Moller-Trumbore over one DMA-resident leaf; updates output refs.
-        Group loop is UNROLLED with static scratch slices (dynamic sublane
-        offsets forced relayouts) and the buffer slot is specialized by a
-        scalar branch for the same reason."""
+        Only the rows named by the leaf's SMEM row mask are swept (a leaf is
+        typically needed by ~1 of 8 rows on incoherent wavefronts).  Group
+        loop is UNROLLED with static scratch slices (dynamic sublane offsets
+        forced relayouts) and the buffer slot is specialized by a scalar
+        branch for the same reason."""
         payload = leaf_pl[i]
+        rm = leaf_rm[i]
         start = payload >> 8
         count = payload & 0xFF
         w8 = (start >> 3) << 3
@@ -116,77 +127,76 @@ def _kernel(T_pad, anyhit, nbox_ref, nmeta_ref, tri_ref,
         for slot_val in (0, 1):
             @pl.when(slot == slot_val)
             def _slot(slot_val=slot_val):
-                bt = t_out[...]
-                bp = p_out[...]
-                bu = u_out[...]
-                bv = v_out[...]
-                for j in range(WBUF // 8):
-                    sbase = slot_val * WBUF + 8 * j
-                    g = w8 + 8 * j
-                    chunk = leaf_buf[sbase : sbase + 8, 0:16]
-                    v0x = chunk[:, 0:1]
-                    v0y = chunk[:, 1:2]
-                    v0z = chunk[:, 2:3]
-                    e1x = chunk[:, 3:4]
-                    e1y = chunk[:, 4:5]
-                    e1z = chunk[:, 5:6]
-                    e2x = chunk[:, 6:7]
-                    e2y = chunk[:, 7:8]
-                    e2z = chunk[:, 8:9]
-                    pid = g + tri_ids8
-                    tri_ok = (pid >= start) & (pid < start + count)
-
-                    for r in range(BLOCK_ROWS):
+                for r in range(BLOCK_ROWS):
+                    @pl.when(((rm >> r) & 1) == 1)
+                    def _row(r=r):
                         o_xr = o_x[r : r + 1, :]
                         o_yr = o_y[r : r + 1, :]
                         o_zr = o_z[r : r + 1, :]
                         d_xr = d_x[r : r + 1, :]
                         d_yr = d_y[r : r + 1, :]
                         d_zr = d_z[r : r + 1, :]
+                        bt_r = t_out[r : r + 1, :]
+                        bp_r = p_out[r : r + 1, :]
+                        bu_r = u_out[r : r + 1, :]
+                        bv_r = v_out[r : r + 1, :]
+                        for j in range(WBUF // 8):
+                            sbase = slot_val * WBUF + 8 * j
+                            g = w8 + 8 * j
+                            chunk = leaf_buf[sbase : sbase + 8, 0:16]
+                            v0x = chunk[:, 0:1]
+                            v0y = chunk[:, 1:2]
+                            v0z = chunk[:, 2:3]
+                            e1x = chunk[:, 3:4]
+                            e1y = chunk[:, 4:5]
+                            e1z = chunk[:, 5:6]
+                            e2x = chunk[:, 6:7]
+                            e2y = chunk[:, 7:8]
+                            e2z = chunk[:, 8:9]
+                            pid = g + tri_ids8
+                            tri_ok = (pid >= start) & (pid < start + count)
 
-                        pvx = d_yr * e2z - d_zr * e2y
-                        pvy = d_zr * e2x - d_xr * e2z
-                        pvz = d_xr * e2y - d_yr * e2x
-                        det = e1x * pvx + e1y * pvy + e1z * pvz
-                        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-                        tvx = o_xr - v0x
-                        tvy = o_yr - v0y
-                        tvz = o_zr - v0z
-                        uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-                        qvx = tvy * e1z - tvz * e1y
-                        qvy = tvz * e1x - tvx * e1z
-                        qvz = tvx * e1y - tvy * e1x
-                        vv = (d_xr * qvx + d_yr * qvy + d_zr * qvz) * inv_det
-                        tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-                        bt_r = bt[r : r + 1, :]
-                        hitt = (
-                            tri_ok
-                            & (jnp.abs(det) > 1e-12)
-                            & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
-                            & (tt > 0.0) & (tt < bt_r)
-                        )
-                        tt = jnp.where(hitt, tt, jnp.inf)
-                        tmin_r = jnp.min(tt, axis=0, keepdims=True)
-                        improved = tmin_r < bt_r
-                        selm = tt == tmin_r
-                        pid_r = jnp.min(jnp.where(selm, pid, INT_BIG), axis=0, keepdims=True)
-                        u_r = jnp.min(jnp.where(selm, uu, jnp.inf), axis=0, keepdims=True)
-                        v_r = jnp.min(jnp.where(selm, vv, jnp.inf), axis=0, keepdims=True)
+                            pvx = d_yr * e2z - d_zr * e2y
+                            pvy = d_zr * e2x - d_xr * e2z
+                            pvz = d_xr * e2y - d_yr * e2x
+                            det = e1x * pvx + e1y * pvy + e1z * pvz
+                            inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+                            tvx = o_xr - v0x
+                            tvy = o_yr - v0y
+                            tvz = o_zr - v0z
+                            uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                            qvx = tvy * e1z - tvz * e1y
+                            qvy = tvz * e1x - tvx * e1z
+                            qvz = tvx * e1y - tvy * e1x
+                            vv = (d_xr * qvx + d_yr * qvy + d_zr * qvz) * inv_det
+                            tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                            hitt = (
+                                tri_ok
+                                & (jnp.abs(det) > 1e-12)
+                                & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                                & (tt > 0.0) & (tt < bt_r)
+                            )
+                            tt = jnp.where(hitt, tt, jnp.inf)
+                            tmin_r = jnp.min(tt, axis=0, keepdims=True)
+                            improved = tmin_r < bt_r
+                            selm = tt == tmin_r
+                            pid_r = jnp.min(jnp.where(selm, pid, INT_BIG), axis=0, keepdims=True)
+                            u_r = jnp.min(jnp.where(selm, uu, jnp.inf), axis=0, keepdims=True)
+                            v_r = jnp.min(jnp.where(selm, vv, jnp.inf), axis=0, keepdims=True)
 
-                        upd = (row_ids == r) & improved
-                        if anyhit:
-                            # occlusion query: first hit wins; -inf best-t
-                            # kills every later box test for that ray, so
-                            # the walk footprint collapses as rays resolve
-                            tmin_r = jnp.full_like(tmin_r, -jnp.inf)
-                        bt = jnp.where(upd, tmin_r, bt)
-                        bp = jnp.where(upd, pid_r, bp)
-                        bu = jnp.where(upd, u_r, bu)
-                        bv = jnp.where(upd, v_r, bv)
-                t_out[...] = bt
-                p_out[...] = bp
-                u_out[...] = bu
-                v_out[...] = bv
+                            if anyhit:
+                                # occlusion query: first hit wins; -inf best-t
+                                # kills every later box test for that ray, so
+                                # the walk footprint collapses as rays resolve
+                                tmin_r = jnp.full_like(tmin_r, -jnp.inf)
+                            bt_r = jnp.where(improved, tmin_r, bt_r)
+                            bp_r = jnp.where(improved, pid_r, bp_r)
+                            bu_r = jnp.where(improved, u_r, bu_r)
+                            bv_r = jnp.where(improved, v_r, bv_r)
+                        t_out[r : r + 1, :] = bt_r
+                        p_out[r : r + 1, :] = bp_r
+                        u_out[r : r + 1, :] = bu_r
+                        v_out[r : r + 1, :] = bv_r
 
     def cond(s):
         node, nl = s
@@ -196,9 +206,11 @@ def _kernel(T_pad, anyhit, nbox_ref, nmeta_ref, tri_ref,
         node, nl = s
 
         # -- 1. batched window test: nodes [node, node+NWIN) ----------------
+        # each node's [8, 128] hit mask reduces to 8 ROW bits: lane-max of
+        # (hit ? 1<<row : 0) then a sublane sum (rows carry distinct powers
+        # of two, so + is |); stored per-node in SMEM for the walk + sweeps
         w0 = jnp.maximum(node, 0)
         bt = t_out[...]
-        bits = jnp.int32(0)
         for k in range(NWIN):
             nk = jnp.minimum(w0 + k, n_nodes - 1)
             nb = nk * 6
@@ -223,7 +235,8 @@ def _kernel(T_pad, anyhit, nbox_ref, nmeta_ref, tri_ref,
                 jnp.maximum(tz0, tz1),
             )
             hit_k = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < bt)
-            bits = bits | (jnp.max(jnp.where(hit_k, 1, 0)) << k)
+            rowbits = jnp.where(hit_k, jnp.int32(1) << row_ids, 0)
+            rmask[k] = jnp.sum(jnp.max(rowbits, axis=1))
 
         # -- 2. scalar walk of the window ----------------------------------
         def wcond(ws):
@@ -232,17 +245,19 @@ def _kernel(T_pad, anyhit, nbox_ref, nmeta_ref, tri_ref,
 
         def wbody(ws):
             cur, wnl = ws
-            b = (bits >> (cur - w0)) & 1
+            rm = rmask[cur - w0]
+            b = rm != 0
             payload = nmeta_ref[2 * cur + 1]
             skip = nmeta_ref[2 * cur]
             is_leaf = payload != 0
-            take = (b == 1) & is_leaf
+            take = b & is_leaf
 
             @pl.when(take)
             def _rec():
                 leaf_pl[wnl] = payload
+                leaf_rm[wnl] = rm
 
-            nxt = jnp.where((b == 1) & jnp.logical_not(is_leaf), cur + 1, skip)
+            nxt = jnp.where(b & jnp.logical_not(is_leaf), cur + 1, skip)
             return nxt, wnl + take.astype(jnp.int32)
 
         node, nl = jax.lax.while_loop(wcond, wbody, (node, nl))
@@ -299,7 +314,9 @@ def _pallas_bvh_sweep(nbox, nmeta, tri16, ox, oy, oz, dx, dy, dz, mt, anyhit=Fal
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((2 * WBUF, 128), jnp.float32),
-            pltpu.SMEM((LFLUSH,), jnp.int32),
+            pltpu.SMEM((LFLUSH,), jnp.int32),     # leaf payloads
+            pltpu.SMEM((LFLUSH,), jnp.int32),     # leaf row masks
+            pltpu.SMEM((NWIN,), jnp.int32),       # window row masks
             pltpu.SemaphoreType.DMA((2,)),
         ],
         out_shape=[

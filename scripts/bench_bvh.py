@@ -10,6 +10,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+sys.path.insert(0, "/root/repo")
+
 
 def spherified_cube(k=130):
     """~6*k*k*2 triangles on a sphere."""
