@@ -53,6 +53,14 @@ INTEGRATOR_TYPES = {
 # Textures / spectra
 # ---------------------------------------------------------------------------
 
+def _floats(v):
+    """Float list from a list/array or the reference's comma/space-separated
+    string spelling (XML properties arrive as strings, xml.cpp)."""
+    if isinstance(v, str):
+        return [float(x) for x in v.replace(",", " ").split()]
+    return v
+
+
 def parse_texture(spec, default=1.0, paths=None, prefix=None, emissive=False):
     """Parse a texture/spectrum spec (float | rgb dict | plugin dict).
     Returns (texture, name-of-differentiable-leaf)."""
@@ -62,15 +70,25 @@ def parse_texture(spec, default=1.0, paths=None, prefix=None, emissive=False):
         tex = TX.ConstantTexture(value=jnp.asarray([float(spec)], jnp.float32))
         return tex, "value"
     if isinstance(spec, (list, tuple, np.ndarray)):
+        arr = np.asarray(spec, np.float32)
+        if arr.ndim >= 2:
+            # a raw [H, W(, C)] image array is a bitmap texture, not a
+            # constant (matches load_dict accepting mi.Bitmap-valued props)
+            if arr.ndim == 2:
+                arr = arr[..., None]
+            return TX.BitmapTexture(data=jnp.asarray(arr)), "data"
         tex = TX.ConstantTexture(
-            value=jnp.asarray(spec, jnp.float32), emissive=emissive
+            value=jnp.asarray(arr, jnp.float32), emissive=emissive
         )
         return tex, "value"
     t = spec["type"]
     if t in ("rgb", "srgb"):
+        # reference srgb plugin takes its triple under 'color'
+        # (src/spectra/srgb.cpp); 'value' is the dict-shorthand spelling
+        val = spec["color"] if "color" in spec else spec["value"]
         return (
             TX.ConstantTexture(
-                value=jnp.asarray(spec["value"], jnp.float32), emissive=emissive
+                value=jnp.asarray(val, jnp.float32), emissive=emissive
             ),
             "value",
         )
@@ -123,7 +141,7 @@ def parse_texture(spec, default=1.0, paths=None, prefix=None, emissive=False):
     if t == "regular":
         return (
             TX.RegularSpectrum(
-                values=jnp.asarray(spec["values"], jnp.float32),
+                values=jnp.asarray(_floats(spec["values"]), jnp.float32),
                 wl_min=jnp.asarray(spec.get("wavelength_min", spec.get("lambda_min", 360.0)), jnp.float32),
                 wl_max=jnp.asarray(spec.get("wavelength_max", spec.get("lambda_max", 830.0)), jnp.float32),
             ),
@@ -132,8 +150,8 @@ def parse_texture(spec, default=1.0, paths=None, prefix=None, emissive=False):
     if t == "irregular":
         return (
             TX.IrregularSpectrum(
-                wavelengths_nodes=jnp.asarray(spec["wavelengths"], jnp.float32),
-                values=jnp.asarray(spec["values"], jnp.float32),
+                wavelengths_nodes=jnp.asarray(_floats(spec["wavelengths"]), jnp.float32),
+                values=jnp.asarray(_floats(spec["values"]), jnp.float32),
             ),
             "values",
         )
@@ -461,7 +479,10 @@ def parse_bsdf(spec, name, paths):
         return B.MaskBSDF(nested=nested, opacity=op)
     if t in ("normalmap", "bumpmap"):
         nested = parse_bsdf(_nested_bsdf_spec(spec, t), name, paths)
-        tex_spec = spec.get("normalmap") or spec.get("texture") or spec.get("bumpmap")
+        tex_spec = next(
+            (spec[k] for k in ("normalmap", "texture", "bumpmap") if spec.get(k) is not None),
+            None,
+        )  # explicit None checks: `or` would truth-test raw numpy arrays
         tex, _ = parse_texture(tex_spec if tex_spec is not None else [0.5, 0.5, 1.0])
         if t == "bumpmap" and hasattr(tex, "data"):
             # height -> tangent-space normals at load time (reference:
@@ -1364,11 +1385,16 @@ def parse_sensor(spec):
             has_target=target is not None,
         )
     elif t == "batch":
-        nested = [
-            parse_sensor(v)[0]
-            for v in spec.values()
-            if isinstance(v, dict) and v.get("type") in SENSOR_TYPES
-        ]
+        sub_specs = []
+        for v in spec.values():
+            if isinstance(v, dict) and v.get("type") in SENSOR_TYPES:
+                sub_specs.append(v)
+            elif isinstance(v, (list, tuple)):  # list-valued child shorthand
+                sub_specs.extend(
+                    s for s in v
+                    if isinstance(s, dict) and s.get("type") in SENSOR_TYPES
+                )
+        nested = [parse_sensor(v)[0] for v in sub_specs]
         if not nested:
             raise ValueError("batch sensor needs nested sensors")
         cam = SEN.BatchSensor(sensors=tuple(nested))

@@ -7,6 +7,8 @@ Plain min-of-N call timing (the bench.py methodology): a scan-of-frames
 program is too large for the remote axon compiler; per-call relay overhead
 is mitigated by taking the min over several calls."""
 import os
+import sys as _sys
+_sys.path.insert(0, "/root/repo")
 import sys
 import time
 

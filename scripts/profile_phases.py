@@ -3,6 +3,8 @@ full frame.  Run ALONE (no other JAX process).  Slope-timed (axon relay
 overhead is variable; memory: axon-tpu-env)."""
 import os
 import sys
+sys.path.insert(0, "/root/repo")
+import sys
 import time
 
 import jax
