@@ -336,7 +336,7 @@ def ray_intersect_preliminary(geom: Geometry, ray: Ray, active=None):
             # node-union footprint drops ~7x (measured on a 200k-tri mesh)
             from ..ops.bvh_sweep import bvh_sweep_intersect, ray_sort_key
 
-            key = ray_sort_key(ray.o, ray.d, geom.bvh_lo[0], geom.bvh_hi[0])
+            key = ray_sort_key(ray.o, ray.d, geom.bvh_lo[0], geom.bvh_hi[0], maxt)
             order = jnp.argsort(key)
             inv = jnp.zeros_like(order).at[order].set(
                 jnp.arange(order.shape[0], dtype=order.dtype)
@@ -558,7 +558,7 @@ def ray_test(geom: Geometry, ray: Ray, active=None):
         from ..ops.bvh_sweep import bvh_sweep_occluded, ray_sort_key
 
         maxt = jnp.where(active, ray.maxt, -jnp.inf)
-        key = ray_sort_key(ray.o, ray.d, geom.bvh_lo[0], geom.bvh_hi[0])
+        key = ray_sort_key(ray.o, ray.d, geom.bvh_lo[0], geom.bvh_hi[0], maxt)
         order = jnp.argsort(key)
         inv = jnp.zeros_like(order).at[order].set(
             jnp.arange(order.shape[0], dtype=order.dtype)
