@@ -139,6 +139,251 @@ class Marginal2D:
         return cls(*leaves)
 
 
+def _interp_weights(param_values, params):
+    """Per-dimension bracketing indices + upper lerp weights over the
+    conditioning-parameter grids (reference: distr_2d.h
+    Distribution2D::interpolate_weights)."""
+    idxs, w1s = [], []
+    for pv, p in zip(param_values, params):
+        n = pv.shape[0]
+        p = jnp.asarray(p, jnp.float32)
+        if n == 1:
+            idxs.append(jnp.zeros(p.shape, jnp.int32))
+            w1s.append(jnp.zeros(p.shape, jnp.float32))
+        else:
+            i = jnp.clip(
+                jnp.searchsorted(pv, p, side="right") - 1, 0, n - 2
+            ).astype(jnp.int32)
+            w = jnp.clip((p - pv[i]) / (pv[i + 1] - pv[i]), 0.0, 1.0)
+            idxs.append(i)
+            w1s.append(w)
+    return idxs, w1s
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class MarginalContinuous2D:
+    """Parameterized continuous marginal 2D warp — the reference's
+    ``Marginal2D<Dimension, Continuous=true>`` (distr_2d.h:838-1457), the
+    machinery behind the measured BSDF's luminance/VNDF warps.
+
+    Data values live at grid VERTICES of a [H, W] lattice over the unit
+    square; the density is the bilinear interpolant.  Up to ``Dimension``
+    extra conditioning parameters (e.g. phi_i, theta_i, wavelength) select
+    a slice by multilinear interpolation of the precomputed CDF tables.
+
+    sample(u2, params) -> (pos, pdf)   continuous warp (quadratic segment
+                                       inversion per patch, as the reference's
+                                       sample_segment)
+    invert(pos, params) -> (u2, pdf)   exact inverse
+    eval(pos, params)  -> pdf          bilinear density (raw values when
+                                       normalize=False)
+    """
+
+    data: jnp.ndarray         # [S, H, W] vertex values (normalized if asked)
+    cond_cdf: jnp.ndarray     # [S, H, W-1] per-row trapezoid prefix integrals
+    marg_cdf: jnp.ndarray     # [S, H-1] trapezoid prefix integrals over rows
+    param_values: tuple       # tuple of [n_d] grids
+    param_sizes: tuple        # static
+    normalized: bool          # static
+
+    @staticmethod
+    def create(data, param_values=(), normalize=True):
+        import numpy as np
+
+        data = np.asarray(data, np.float32)
+        param_values = tuple(np.asarray(p, np.float32).reshape(-1)
+                             for p in param_values)
+        sizes = tuple(int(p.shape[0]) for p in param_values)
+        H, W = data.shape[-2], data.shape[-1]
+        if data.shape[:-2] != sizes:
+            raise ValueError(
+                f"Marginal2D: data shape {data.shape} vs param sizes {sizes}"
+            )
+        d = data.reshape(-1, H, W).astype(np.float64)
+        scale_x = 0.5 / (W - 1)
+        scale_y = 0.5 / (H - 1)
+        # conditional CDF: per-row trapezoid integral along x
+        cond = np.cumsum(scale_x * (d[:, :, :-1] + d[:, :, 1:]), axis=2)
+        row_int = cond[:, :, -1]                       # [S, H]
+        marg = np.cumsum(scale_y * (row_int[:, :-1] + row_int[:, 1:]), axis=1)
+        if normalize:
+            norm = 1.0 / np.maximum(marg[:, -1:], 1e-300)
+            d = d * norm[:, :, None]
+            cond = cond * norm[:, :, None]
+            marg = marg * norm
+        return MarginalContinuous2D(
+            data=jnp.asarray(d, jnp.float32),
+            cond_cdf=jnp.asarray(cond, jnp.float32),
+            marg_cdf=jnp.asarray(marg, jnp.float32),
+            param_values=tuple(jnp.asarray(p) for p in param_values),
+            param_sizes=sizes,
+            normalized=bool(normalize),
+        )
+
+    # -- parameter-interpolated gather ----------------------------------
+    def _lookup(self, table, pos_idx, idxs, w1s):
+        """table: [S, ...] flattened per-slice to [S, M]; pos_idx: [N] index
+        into M.  Multilinear interpolation over the 2^D bracketing slices
+        (reference: distr_2d.h lookup<Dim> recursion)."""
+        S = table.shape[0]
+        flat = table.reshape(S, -1)
+        D = len(idxs)
+        if D == 0:
+            return flat[0, pos_idx]
+        out = 0.0
+        for bits in range(1 << D):
+            sl = None
+            w = 1.0
+            for dim in range(D):
+                b = (bits >> dim) & 1
+                i = jnp.minimum(idxs[dim] + b, self.param_sizes[dim] - 1)
+                sl = i if sl is None else sl * self.param_sizes[dim] + i
+                w = w * (w1s[dim] if b else (1.0 - w1s[dim]))
+            out = out + w * flat[sl, pos_idx]
+        return out
+
+    @staticmethod
+    def _sample_segment(s, inv_width, v0, v1):
+        """Invert the CDF of a linear density segment (distr_2d.h:1429-1438)."""
+        non_const = jnp.abs(v0 - v1) > 1e-4 * (v0 + v1)
+        divisor = jnp.where(non_const, v0 - v1, v0 + v1)
+        s = s * 2.0 * inv_width
+        disc = jnp.maximum(v0 * v0 + s * (v1 - v0), 0.0)
+        s = jnp.where(non_const, v0 - jnp.sqrt(disc), s)
+        return jnp.where(divisor != 0.0, s / jnp.where(divisor == 0, 1.0, divisor), s)
+
+    @staticmethod
+    def _invert_segment(s, width, v0, v1):
+        return s * (v0 + (v1 - v0) * (0.5 * s)) * width
+
+    def _bisect(self, n, fetch, target):
+        """First index in [0, n-1] with fetch(idx) >= target (the reference's
+        dr::binary_search), as a fixed log2(n)-step lane-parallel bisection."""
+        import math
+
+        steps = max(int(math.ceil(math.log2(max(n, 2)))), 1)
+        lo = jnp.zeros_like(target, jnp.int32)
+        hi = jnp.full_like(lo, n - 1)
+        for _ in range(steps):
+            mid = (lo + hi) // 2
+            go_right = fetch(mid) < target
+            lo = jnp.where(go_right, jnp.minimum(mid + 1, n - 1), lo)
+            hi = jnp.where(go_right, hi, mid)
+        return lo
+
+    # -- public API ------------------------------------------------------
+    def sample(self, u2, params=()):
+        """[N, 2] uniforms (+ per-lane params) -> ([N, 2] pos, [N] pdf)
+        (reference: distr_2d.h sample_continuous:1257-1349)."""
+        H, W = self.data.shape[-2:]
+        idxs, w1s = _interp_weights(self.param_values, params)
+        u2 = jnp.clip(u2, 1e-7, 1.0 - 1e-7)
+        sy = u2[..., 1]
+        fetch_m = lambda i: self._lookup(self.marg_cdf, i, idxs, w1s)
+        if not self.normalized:
+            sy = sy * fetch_m(jnp.full_like(sy, H - 2, jnp.int32))
+        row = self._bisect(H - 1, fetch_m, sy)
+        sy = sy - jnp.where(row > 0, fetch_m(jnp.maximum(row - 1, 0)), 0.0)
+
+        # row-total conditional integrals bracketing the patch
+        r0 = self._lookup(self.cond_cdf, row * (W - 1) + (W - 2), idxs, w1s)
+        r1 = self._lookup(self.cond_cdf, (row + 1) * (W - 1) + (W - 2), idxs, w1s)
+        fy = self._sample_segment(sy, float(H - 1), r0, r1)
+
+        sx = u2[..., 0] * (r0 + (r1 - r0) * fy)
+        fetch_c = lambda i: (
+            self._lookup(self.cond_cdf, row * (W - 1) + i, idxs, w1s) * (1.0 - fy)
+            + self._lookup(self.cond_cdf, (row + 1) * (W - 1) + i, idxs, w1s) * fy
+        )
+        col = self._bisect(W - 1, fetch_c, sx)
+        sx = sx - jnp.where(col > 0, fetch_c(jnp.maximum(col - 1, 0)), 0.0)
+
+        base = row * W + col
+        v00 = self._lookup(self.data, base, idxs, w1s)
+        v10 = self._lookup(self.data, base + 1, idxs, w1s)
+        v01 = self._lookup(self.data, base + W, idxs, w1s)
+        v11 = self._lookup(self.data, base + W + 1, idxs, w1s)
+        c0 = v00 + (v01 - v00) * fy
+        c1 = v10 + (v11 - v10) * fy
+        fx = self._sample_segment(sx, float(W - 1), c0, c1)
+
+        pos = jnp.stack([(col + fx) / (W - 1), (row + fy) / (H - 1)], axis=-1)
+        pdf = c0 + (c1 - c0) * fx
+        return pos, pdf
+
+    def invert(self, pos, params=()):
+        """Inverse of sample() (reference: invert_continuous:1352-1427)."""
+        H, W = self.data.shape[-2:]
+        idxs, w1s = _interp_weights(self.param_values, params)
+        pos = jnp.clip(pos, 0.0, 1.0)
+        px = pos[..., 0] * (W - 1)
+        py = pos[..., 1] * (H - 1)
+        col = jnp.minimum(px.astype(jnp.int32), W - 2)
+        row = jnp.minimum(py.astype(jnp.int32), H - 2)
+        fx = px - col
+        fy = py - row
+
+        base = row * W + col
+        v00 = self._lookup(self.data, base, idxs, w1s)
+        v10 = self._lookup(self.data, base + 1, idxs, w1s)
+        v01 = self._lookup(self.data, base + W, idxs, w1s)
+        v11 = self._lookup(self.data, base + W + 1, idxs, w1s)
+        c0 = v00 + (v01 - v00) * fy
+        c1 = v10 + (v11 - v10) * fy
+        pdf = c0 + (c1 - c0) * fx
+
+        sx = self._invert_segment(fx, 1.0 / (W - 1), c0, c1)
+        fetch_c = lambda i: (
+            self._lookup(self.cond_cdf, row * (W - 1) + i, idxs, w1s) * (1.0 - fy)
+            + self._lookup(self.cond_cdf, (row + 1) * (W - 1) + i, idxs, w1s) * fy
+        )
+        sx = sx + jnp.where(col > 0, fetch_c(jnp.maximum(col - 1, 0)), 0.0)
+
+        r0 = self._lookup(self.cond_cdf, row * (W - 1) + (W - 2), idxs, w1s)
+        r1 = self._lookup(self.cond_cdf, (row + 1) * (W - 1) + (W - 2), idxs, w1s)
+        rtot = r0 + (r1 - r0) * fy
+        sx = sx / jnp.where(rtot == 0, 1.0, rtot)
+
+        sy = self._invert_segment(fy, 1.0 / (H - 1), r0, r1)
+        fetch_m = lambda i: self._lookup(self.marg_cdf, i, idxs, w1s)
+        sy = sy + jnp.where(row > 0, fetch_m(jnp.maximum(row - 1, 0)), 0.0)
+        if not self.normalized:
+            tot = fetch_m(jnp.full_like(row, H - 2))
+            sy = sy / jnp.where(tot == 0, 1.0, tot)
+        return jnp.stack([sx, sy], axis=-1), pdf
+
+    def eval(self, pos, params=()):
+        """Bilinear density at [N, 2] positions (distr_2d.h eval:1025-1056)."""
+        H, W = self.data.shape[-2:]
+        idxs, w1s = _interp_weights(self.param_values, params)
+        pos = jnp.clip(pos, 0.0, 1.0)
+        px = pos[..., 0] * (W - 1)
+        py = pos[..., 1] * (H - 1)
+        col = jnp.minimum(px.astype(jnp.int32), W - 2)
+        row = jnp.minimum(py.astype(jnp.int32), H - 2)
+        fx = px - col
+        fy = py - row
+        base = row * W + col
+        v00 = self._lookup(self.data, base, idxs, w1s)
+        v10 = self._lookup(self.data, base + 1, idxs, w1s)
+        v01 = self._lookup(self.data, base + W, idxs, w1s)
+        v11 = self._lookup(self.data, base + W + 1, idxs, w1s)
+        return (v00 * (1 - fx) + v10 * fx) * (1 - fy) + (
+            v01 * (1 - fx) + v11 * fx
+        ) * fy
+
+    def tree_flatten(self):
+        return (
+            (self.data, self.cond_cdf, self.marg_cdf, self.param_values),
+            (self.param_sizes, self.normalized),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, *aux)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass(frozen=True)
 class Hierarchical2D:
