@@ -144,10 +144,17 @@ def train_step_sharded(scene, mesh, param_paths, target, seed=0, spp=None, lr=0.
 
 def scaling_efficiency(scene, param_paths, target, n_devices, seed=0, spp=None,
                        iters=3):
-    """Measure weak-scaling efficiency of the sharded gradient step:
-    wall-time(1 device) / wall-time(n devices) on the SAME total wavefront
-    (BASELINE.md target: >=90% at full mesh).  Returns a dict with per-size
-    step times and the efficiency ratio."""
+    """Measure scaling of the sharded gradient step: wall-time(1 device) /
+    wall-time(n devices) on the SAME total wavefront (BASELINE.md target:
+    >=90% at full mesh).
+
+    A virtual host-platform mesh (xla_force_host_platform_device_count) runs
+    every 'device' on the same physical cores, so same-total-work speedup is
+    physically capped at ~1x there.  In that case the meaningful figures are
+    (a) the sharding OVERHEAD ratio t_n/t_1 (collective + dispatch cost on
+    top of the compute, ideal ~1.0) and (b) that the compiled module actually
+    contains the parameter all-reduce; `efficiency` is reported as None.
+    On a real multi-chip backend the true efficiency is reported."""
     import time
 
     times = {}
@@ -165,15 +172,57 @@ def scaling_efficiency(scene, param_paths, target, n_devices, seed=0, spp=None,
             )
         jax.block_until_ready((loss, grads))
         times[nd] = (time.perf_counter() - t0) / iters
-    # same total work: ideal speedup = n_devices
+
+    virtual = all(d.platform == "cpu" for d in jax.devices()[:n_devices])
     speedup = times[1] / times[n_devices]
-    return {
+    out = {
         "t_1dev_s": times[1],
         "t_ndev_s": times[n_devices],
         "speedup": speedup,
-        "efficiency": speedup / n_devices,
         "n_devices": n_devices,
+        "virtual_mesh": virtual,
     }
+    if virtual:
+        out["efficiency"] = None
+        out["overhead_ratio"] = times[n_devices] / times[1]
+    else:
+        out["efficiency"] = speedup / n_devices
+    return out
+
+
+def sharded_step_has_allreduce(scene, mesh, param_paths, target, seed=0,
+                               spp=None):
+    """True iff the compiled sharded gradient step contains a cross-chip
+    all-reduce of the parameter gradients — the structural check that the
+    psum rides the mesh (the compile-time analog of the reference's
+    kernel-count regression, test_megakernel.py)."""
+    from ..render.params import _tree_get, _tree_set
+
+    film = scene.film
+    spp = spp or scene.spp
+    n_total = _pass_lanes(film, spp)
+    n_dev = mesh.devices.size
+    n_local = n_total // n_dev
+    lane_starts = jnp.arange(n_dev, dtype=jnp.uint32) * jnp.uint32(n_local)
+    theta0 = tuple(_tree_get(scene, p) for p in param_paths)
+
+    def local(theta, scene, lane0, target):
+        def loss_local(theta):
+            s2 = scene
+            for p, v in zip(param_paths, theta):
+                s2 = _tree_set(s2, p, v)
+            L = _lane_render(s2, seed, lane0[0], n_local, spp, 0)
+            return jnp.sum((L - target) ** 2) / n_total
+
+        loss, grads = jax.value_and_grad(loss_local)(theta)
+        return jax.lax.psum(loss, "rays"), jax.lax.psum(grads, "rays")
+
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(P(), P(), P("rays"), P("rays")),
+        out_specs=(P(), P()), check_vma=False,
+    ))
+    hlo = fn.lower(theta0, scene, lane_starts, target).compile().as_text()
+    return ("all-reduce" in hlo) or ("all_reduce" in hlo)
 
 
 def init_distributed(coordinator_address=None, num_processes=None, process_id=None,
