@@ -52,6 +52,11 @@ WBUF = MAX_WIDE_LEAF + 8       # 8-aligned leaf DMA window, rows
 NWIN = int(os.environ.get("MI_BVH_NWIN", "32"))
 # leaf-list capacity between sweep flushes
 LFLUSH = int(os.environ.get("MI_BVH_LFLUSH", "16"))
+# bench-only ablation: "nosweep" skips leaf sweeps (wrong results; isolates
+# window-test + walk cost), "nodma" sweeps stale buffers without DMA waits
+ABLATE = os.environ.get("MI_BVH_ABLATE", "")
+# leaf-DMA ring depth (in-flight copies; latency hiding beyond double-buffer)
+RING = int(os.environ.get("MI_BVH_RING", "4"))
 
 
 def _kernel(T_pad, anyhit, nbox_ref, nmeta_ref, tri_ref,
@@ -91,6 +96,10 @@ def _kernel(T_pad, anyhit, nbox_ref, nmeta_ref, tri_ref,
     inv_dx = 1.0 / jnp.where(jnp.abs(d_x) < eps, jnp.where(d_x >= 0, eps, -eps), d_x)
     inv_dy = 1.0 / jnp.where(jnp.abs(d_y) < eps, jnp.where(d_y >= 0, eps, -eps), d_y)
     inv_dz = 1.0 / jnp.where(jnp.abs(d_z) < eps, jnp.where(d_z >= 0, eps, -eps), d_z)
+    # hoisted slab-test terms: (lo - o) * inv == lo * inv - o * inv
+    oi_x = o_x * inv_dx
+    oi_y = o_y * inv_dy
+    oi_z = o_z * inv_dz
 
     t_out[...] = maxt
     p_out[...] = jnp.full(o_x.shape, -1, jnp.int32)
@@ -107,96 +116,110 @@ def _kernel(T_pad, anyhit, nbox_ref, nmeta_ref, tri_ref,
         w8 = (start >> 3) << 3
         return pltpu.make_async_copy(
             tri_ref.at[pl.ds(w8, WBUF), :],
-            leaf_buf.at[pl.ds(slot * WBUF, WBUF), :],
+            leaf_buf.at[slot],
             leaf_sem.at[slot],
         )
 
     def _sweep_leaf(i, slot):
         """Moller-Trumbore over one DMA-resident leaf; updates output refs.
         Only the rows named by the leaf's SMEM row mask are swept (a leaf is
-        typically needed by ~1 of 8 rows on incoherent wavefronts).  Group
-        loop is UNROLLED with static scratch slices (dynamic sublane offsets
-        forced relayouts) and the buffer slot is specialized by a scalar
-        branch for the same reason."""
+        typically needed by ~1 of 8 rows on incoherent wavefronts).  The
+        chunk loop is UNROLLED with static scratch slices and the ring slot
+        is specialized by a scalar branch: dynamic sublane offsets and
+        per-chunk ref round-trips both measured ~2x slower (relayouts /
+        lost register allocation)."""
         payload = leaf_pl[i]
         rm = leaf_rm[i]
         start = payload >> 8
         count = payload & 0xFF
         w8 = (start >> 3) << 3
 
-        for slot_val in (0, 1):
+        for slot_val in range(RING):
             @pl.when(slot == slot_val)
             def _slot(slot_val=slot_val):
                 for r in range(BLOCK_ROWS):
                     @pl.when(((rm >> r) & 1) == 1)
-                    def _row(r=r):
+                    def _row(r=r, slot_val=slot_val):
                         o_xr = o_x[r : r + 1, :]
                         o_yr = o_y[r : r + 1, :]
                         o_zr = o_z[r : r + 1, :]
                         d_xr = d_x[r : r + 1, :]
                         d_yr = d_y[r : r + 1, :]
                         d_zr = d_z[r : r + 1, :]
-                        bt_r = t_out[r : r + 1, :]
-                        bp_r = p_out[r : r + 1, :]
-                        bu_r = u_out[r : r + 1, :]
-                        bv_r = v_out[r : r + 1, :]
+                        carry = (
+                            t_out[r : r + 1, :], p_out[r : r + 1, :],
+                            u_out[r : r + 1, :], v_out[r : r + 1, :],
+                        )
                         for j in range(WBUF // 8):
-                            sbase = slot_val * WBUF + 8 * j
-                            g = w8 + 8 * j
-                            chunk = leaf_buf[sbase : sbase + 8, 0:16]
-                            v0x = chunk[:, 0:1]
-                            v0y = chunk[:, 1:2]
-                            v0z = chunk[:, 2:3]
-                            e1x = chunk[:, 3:4]
-                            e1y = chunk[:, 4:5]
-                            e1z = chunk[:, 5:6]
-                            e2x = chunk[:, 6:7]
-                            e2y = chunk[:, 7:8]
-                            e2z = chunk[:, 8:9]
-                            pid = g + tri_ids8
-                            tri_ok = (pid >= start) & (pid < start + count)
-
-                            pvx = d_yr * e2z - d_zr * e2y
-                            pvy = d_zr * e2x - d_xr * e2z
-                            pvz = d_xr * e2y - d_yr * e2x
-                            det = e1x * pvx + e1y * pvy + e1z * pvz
-                            inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-                            tvx = o_xr - v0x
-                            tvy = o_yr - v0y
-                            tvz = o_zr - v0z
-                            uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-                            qvx = tvy * e1z - tvz * e1y
-                            qvy = tvz * e1x - tvx * e1z
-                            qvz = tvx * e1y - tvy * e1x
-                            vv = (d_xr * qvx + d_yr * qvy + d_zr * qvz) * inv_det
-                            tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-                            hitt = (
-                                tri_ok
-                                & (jnp.abs(det) > 1e-12)
-                                & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
-                                & (tt > 0.0) & (tt < bt_r)
+                            carry = _mt_chunk(
+                                w8 + 8 * j, start, count,
+                                leaf_buf[slot_val, 8 * j : 8 * j + 8, 0:16],
+                                o_xr, o_yr, o_zr, d_xr, d_yr, d_zr,
+                                *carry,
                             )
-                            tt = jnp.where(hitt, tt, jnp.inf)
-                            tmin_r = jnp.min(tt, axis=0, keepdims=True)
-                            improved = tmin_r < bt_r
-                            selm = tt == tmin_r
-                            pid_r = jnp.min(jnp.where(selm, pid, INT_BIG), axis=0, keepdims=True)
-                            u_r = jnp.min(jnp.where(selm, uu, jnp.inf), axis=0, keepdims=True)
-                            v_r = jnp.min(jnp.where(selm, vv, jnp.inf), axis=0, keepdims=True)
-
-                            if anyhit:
-                                # occlusion query: first hit wins; -inf best-t
-                                # kills every later box test for that ray, so
-                                # the walk footprint collapses as rays resolve
-                                tmin_r = jnp.full_like(tmin_r, -jnp.inf)
-                            bt_r = jnp.where(improved, tmin_r, bt_r)
-                            bp_r = jnp.where(improved, pid_r, bp_r)
-                            bu_r = jnp.where(improved, u_r, bu_r)
-                            bv_r = jnp.where(improved, v_r, bv_r)
+                        bt_r, bp_r, bu_r, bv_r = carry
                         t_out[r : r + 1, :] = bt_r
                         p_out[r : r + 1, :] = bp_r
                         u_out[r : r + 1, :] = bu_r
                         v_out[r : r + 1, :] = bv_r
+
+    def _mt_chunk(g, start, count, chunk,
+                  o_xr, o_yr, o_zr, d_xr, d_yr, d_zr,
+                  bt_r, bp_r, bu_r, bv_r):
+        """One 8-triangle x 128-ray Moller-Trumbore outer-product tile;
+        closest-hit reduces over the triangle sublane axis and returns the
+        tightened row state."""
+        v0x = chunk[:, 0:1]
+        v0y = chunk[:, 1:2]
+        v0z = chunk[:, 2:3]
+        e1x = chunk[:, 3:4]
+        e1y = chunk[:, 4:5]
+        e1z = chunk[:, 5:6]
+        e2x = chunk[:, 6:7]
+        e2y = chunk[:, 7:8]
+        e2z = chunk[:, 8:9]
+        pid = g + tri_ids8
+        tri_ok = (pid >= start) & (pid < start + count)
+
+        pvx = d_yr * e2z - d_zr * e2y
+        pvy = d_zr * e2x - d_xr * e2z
+        pvz = d_xr * e2y - d_yr * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+        tvx = o_xr - v0x
+        tvy = o_yr - v0y
+        tvz = o_zr - v0z
+        uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        vv = (d_xr * qvx + d_yr * qvy + d_zr * qvz) * inv_det
+        tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+        hitt = (
+            tri_ok
+            & (jnp.abs(det) > 1e-12)
+            & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+            & (tt > 0.0) & (tt < bt_r)
+        )
+        tt = jnp.where(hitt, tt, jnp.inf)
+        tmin_r = jnp.min(tt, axis=0, keepdims=True)
+        improved = tmin_r < bt_r
+        selm = tt == tmin_r
+        pid_r = jnp.min(jnp.where(selm, pid, INT_BIG), axis=0, keepdims=True)
+        u_r = jnp.min(jnp.where(selm, uu, jnp.inf), axis=0, keepdims=True)
+        v_r = jnp.min(jnp.where(selm, vv, jnp.inf), axis=0, keepdims=True)
+
+        if anyhit:
+            # occlusion query: first hit wins; -inf best-t kills every later
+            # box test for that ray, so the walk footprint collapses as rays
+            # resolve
+            tmin_r = jnp.full_like(tmin_r, -jnp.inf)
+        return (
+            jnp.where(improved, tmin_r, bt_r),
+            jnp.where(improved, pid_r, bp_r),
+            jnp.where(improved, u_r, bu_r),
+            jnp.where(improved, v_r, bv_r),
+        )
 
     def cond(s):
         node, nl = s
@@ -220,12 +243,12 @@ def _kernel(T_pad, anyhit, nbox_ref, nmeta_ref, tri_ref,
             hi_x = nbox_ref[nb + 3]
             hi_y = nbox_ref[nb + 4]
             hi_z = nbox_ref[nb + 5]
-            tx0 = (lo_x - o_x) * inv_dx
-            tx1 = (hi_x - o_x) * inv_dx
-            ty0 = (lo_y - o_y) * inv_dy
-            ty1 = (hi_y - o_y) * inv_dy
-            tz0 = (lo_z - o_z) * inv_dz
-            tz1 = (hi_z - o_z) * inv_dz
+            tx0 = lo_x * inv_dx - oi_x
+            tx1 = hi_x * inv_dx - oi_x
+            ty0 = lo_y * inv_dy - oi_y
+            ty1 = hi_y * inv_dy - oi_y
+            tz0 = lo_z * inv_dz - oi_z
+            tz1 = hi_z * inv_dz - oi_z
             tmin = jnp.maximum(
                 jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
                 jnp.minimum(tz0, tz1),
@@ -265,17 +288,26 @@ def _kernel(T_pad, anyhit, nbox_ref, nmeta_ref, tri_ref,
         # -- 3. flush: sweep the listed leaves, double-buffered DMA ---------
         flush = (nl >= LFLUSH) | ((node < 0) & (nl > 0))
 
-        @pl.when(flush)
+        @pl.when(flush & (ABLATE != "nosweep"))
         def _flush():
-            _leaf_copy(jnp.int32(0), jnp.int32(0)).start()
+            # RING-deep prefetch: keep RING-1 leaf copies in flight so the
+            # per-leaf DMA latency overlaps the sweeps of earlier leaves
+            if ABLATE != "nodma":
+                for r0 in range(RING - 1):
+                    @pl.when(r0 < nl)
+                    def _pf0(r0=r0):
+                        _leaf_copy(jnp.int32(r0), jnp.int32(r0)).start()
 
             def sweep_i(i, carry):
-                slot = jax.lax.rem(i, 2)
-                _leaf_copy(i, slot).wait()
+                slot = jax.lax.rem(i, RING)
+                if ABLATE != "nodma":
+                    _leaf_copy(i, slot).wait()
 
-                @pl.when(i + 1 < nl)
-                def _prefetch():
-                    _leaf_copy(i + 1, jax.lax.rem(i + 1, 2)).start()
+                    @pl.when(i + RING - 1 < nl)
+                    def _prefetch():
+                        _leaf_copy(
+                            i + RING - 1, jax.lax.rem(i + RING - 1, RING)
+                        ).start()
 
                 _sweep_leaf(i, slot)
                 return carry
@@ -313,11 +345,11 @@ def _pallas_bvh_sweep(nbox, nmeta, tri16, ox, oy, oz, dx, dy, dz, mt, anyhit=Fal
         ],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((2 * WBUF, 128), jnp.float32),
+            pltpu.VMEM((RING, WBUF, 128), jnp.float32),
             pltpu.SMEM((LFLUSH,), jnp.int32),     # leaf payloads
             pltpu.SMEM((LFLUSH,), jnp.int32),     # leaf row masks
             pltpu.SMEM((NWIN,), jnp.int32),       # window row masks
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((RING,)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((R, LANES), jnp.float32),
@@ -449,6 +481,31 @@ def ray_sort_key(o, d, bbox_lo, bbox_hi, maxt=None):
         miss = ~((jnp.minimum(tmax, maxt) >= jnp.maximum(tmin, 0.0)))
         key = key | (miss.astype(jnp.int32) << 30)
     return key
+
+
+def maybe_sort_order(key):
+    """Runtime-conditional coherence sort.
+
+    The block-traversal kernel wants 1024-lane blocks with small spatial
+    footprint.  Primary wavefronts already have that (tiled lane order), and
+    the XLA argsort of ~1M keys costs ~40% of a coherent closest-hit — so
+    sort only when the wavefront is measurably block-incoherent.  The
+    statistic is the mean per-1024-block key spread relative to the global
+    spread; the identity permutation is returned for coherent wavefronts.
+    Results are permutation-invariant (closest hit + exact scatter-back),
+    so the branch never changes a rendered sample."""
+    n = key.shape[0]
+    nb = max(n // BLOCK, 1)
+    kb = key[: nb * BLOCK].reshape(nb, -1)
+    spread = jnp.mean((jnp.max(kb, 1) - jnp.min(kb, 1)).astype(jnp.float32))
+    glob = (jnp.max(key) - jnp.min(key)).astype(jnp.float32)
+    need = spread > 0.08 * jnp.maximum(glob, 1.0)
+    return jax.lax.cond(
+        need,
+        lambda k: jnp.argsort(k).astype(jnp.int32),
+        lambda k: jnp.arange(n, dtype=jnp.int32),
+        key,
+    )
 
 
 def bvh_sweep_occluded(nbox, nmeta, tri_v0, tri_e1, tri_e2, o, d, maxt):

@@ -334,10 +334,12 @@ def ray_intersect_preliminary(geom: Geometry, ray: Ray, active=None):
             # (origin-morton, direction-morton) first so each 1024-ray block
             # covers a compact spatial tile — the block-shared traversal's
             # node-union footprint drops ~7x (measured on a 200k-tri mesh)
-            from ..ops.bvh_sweep import bvh_sweep_intersect, ray_sort_key
+            from ..ops.bvh_sweep import (
+                bvh_sweep_intersect, maybe_sort_order, ray_sort_key,
+            )
 
             key = ray_sort_key(ray.o, ray.d, geom.bvh_lo[0], geom.bvh_hi[0], maxt)
-            order = jnp.argsort(key)
+            order = maybe_sort_order(key)
             inv = jnp.zeros_like(order).at[order].set(
                 jnp.arange(order.shape[0], dtype=order.dtype)
             )
@@ -555,11 +557,13 @@ def ray_test(geom: Geometry, ray: Ray, active=None):
     if active is None:
         active = jnp.ones((N,), bool)
     if geom.has_bvh and jax.default_backend() != "cpu":
-        from ..ops.bvh_sweep import bvh_sweep_occluded, ray_sort_key
+        from ..ops.bvh_sweep import (
+            bvh_sweep_occluded, maybe_sort_order, ray_sort_key,
+        )
 
         maxt = jnp.where(active, ray.maxt, -jnp.inf)
         key = ray_sort_key(ray.o, ray.d, geom.bvh_lo[0], geom.bvh_hi[0], maxt)
-        order = jnp.argsort(key)
+        order = maybe_sort_order(key)
         inv = jnp.zeros_like(order).at[order].set(
             jnp.arange(order.shape[0], dtype=order.dtype)
         )
