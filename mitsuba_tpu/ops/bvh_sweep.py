@@ -110,6 +110,7 @@ def _kernel(T_pad, anyhit, nbox_ref, nmeta_ref, tri_ref,
     n_nodes = nmeta_ref.shape[0] // 2
 
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_ROWS, LANES), 0)
+    row_pow = jnp.int32(1) << row_ids          # hoisted out of the node loop
 
     def _leaf_copy(i, slot):
         start = leaf_pl[i] >> 8
@@ -258,7 +259,7 @@ def _kernel(T_pad, anyhit, nbox_ref, nmeta_ref, tri_ref,
                 jnp.maximum(tz0, tz1),
             )
             hit_k = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < bt)
-            rowbits = jnp.where(hit_k, jnp.int32(1) << row_ids, 0)
+            rowbits = jnp.where(hit_k, row_pow, 0)
             rmask[k] = jnp.sum(jnp.max(rowbits, axis=1))
 
         # -- 2. scalar walk of the window ----------------------------------
