@@ -207,3 +207,133 @@ def WarpAdapter(warp_fn, pdf_fn):
         return warp_fn(u2)
 
     return sample_func, pdf_fn
+
+
+def EmitterAdapter(scene, ref_p):
+    """Scene-level NEE distribution test (reference: chi2.py:531-570
+    EmitterAdapter): histogram `scene.sample_emitter_direction` against the
+    pdf the MIS weights use (`pdf_emitter_direction_hit`/`_escaped`), from a
+    fixed reference point.  Catches solid-angle-conversion and
+    emitter-selection bugs that per-plugin chi2 can't see.  Delta emitters
+    (point/directional) are excluded via the valid mask, as in the
+    reference."""
+    from .render.records import Ray
+
+    ref = jnp.asarray(ref_p, jnp.float32)
+
+    def sample_func(u1, u2):
+        n = u1.shape[0]
+        refs = jnp.broadcast_to(ref, (n, 3))
+        ds, w = scene.sample_emitter_direction(
+            refs, u1, u2, None, jnp.ones((n,), bool), test_visibility=False
+        )
+        return ds.d, (ds.pdf > 0) & ~ds.delta
+
+    def pdf_func(d):
+        n = d.shape[0]
+        refs = jnp.broadcast_to(ref, (n, 3))
+        si = scene.ray_intersect(Ray.make(refs, d), jnp.ones((n,), bool))
+        pdf_hit = scene.pdf_emitter_direction_hit(refs, si)
+        pdf_esc = scene.pdf_emitter_direction_escaped(d)
+        return jnp.where(si.is_valid, pdf_hit, pdf_esc)
+
+    return sample_func, pdf_func
+
+
+def SpectrumAdapter(kind="visible"):
+    """Wavelength importance-sampling test (reference: chi2.py:446-477
+    SpectrumAdapter over a LineDomain): (sample, pdf, lo, hi) for
+    ChiSquareTest1D.  'visible' is the CIE-luminance-shaped curve the
+    renderer uses for hero-wavelength sampling (spectrum.h:sample_rgb_spectrum);
+    'uniform' the flat fallback."""
+    from .core import spectrum as spec
+
+    if kind == "visible":
+        # the analytic warp overshoots [360, 830] by <0.3nm at u -> 0/1;
+        # clip into the pdf's support like the renderer's wavelength setup
+        return (
+            lambda u: jnp.clip(
+                spec.sample_visible_wavelength(u), spec.CIE_MIN, spec.CIE_MAX
+            ),
+            lambda wl: spec.pdf_visible_wavelength(wl),
+            360.0, 830.0,
+        )
+    if kind == "uniform":
+        return (
+            lambda u: spec.sample_uniform_wavelength(u),
+            lambda wl: spec.pdf_uniform_wavelength(wl),
+            float(spec.CIE_MIN), float(spec.CIE_MAX),
+        )
+    raise ValueError(f"unknown spectrum kind {kind!r}")
+
+
+class ChiSquareTest1D:
+    """1D analog of ChiSquareTest over an interval [lo, hi] (the reference's
+    LineDomain, chi2.py SpectrumAdapter tests): histogram sampled scalars
+    against the midpoint-quadrature-integrated pdf with the same
+    Scheffe-Tukey pooling and significance level."""
+
+    def __init__(self, sample_func, pdf_func, lo, hi, sample_count=200_000,
+                 res=64, ires=16, significance_level=0.01, seed=0):
+        self.sample_func = sample_func
+        self.pdf_func = pdf_func
+        self.lo = float(lo)
+        self.hi = float(hi)
+        self.sample_count = int(sample_count)
+        self.res = res
+        self.ires = ires
+        self.significance_level = significance_level
+        self.seed = seed
+        self.messages = ""
+
+    def run(self):
+        n = self.sample_count
+        rng = RNG(self.seed, np.arange(n, dtype=np.uint32))
+        u, _, _ = rng.next_2d()
+        x = np.asarray(self.sample_func(u))
+        assert (x >= self.lo).all() and (x <= self.hi).all(), "sample out of domain"
+        width = self.hi - self.lo
+        i = np.clip(((x - self.lo) / width * self.res).astype(np.int64),
+                    0, self.res - 1)
+        hist = np.bincount(i, minlength=self.res).astype(np.float64)
+
+        edges = np.linspace(self.lo, self.hi, self.res + 1)
+        sub = (np.arange(self.ires) + 0.5) / self.ires
+        pts = edges[:-1, None] + (width / self.res) * sub[None, :]
+        pdf = np.asarray(self.pdf_func(jnp.asarray(pts.reshape(-1), jnp.float32)))
+        pdf = pdf.reshape(self.res, self.ires).astype(np.float64)
+        expected = pdf.mean(axis=1) * (width / self.res) * n
+
+        obs, exp = _pool(hist, expected)
+        dof = len(obs) - 1
+        chi2_stat = np.sum((obs - exp) ** 2 / np.maximum(exp, 1e-9))
+        p_value = float(gammaincc(dof / 2.0, chi2_stat / 2.0))
+        self.p_value = p_value
+        self.chi2_stat = float(chi2_stat)
+        self.dof = dof
+        total = float(expected.sum())
+        self.messages = (
+            f"chi2={chi2_stat:.2f} dof={dof} p={p_value:.4f} "
+            f"(expected mass {total / n:.4f})"
+        )
+        return (p_value >= self.significance_level) and abs(total / n - 1.0) < 0.02
+
+
+def _pool(obs, exp):
+    """Scheffe-Tukey pooling of low-expectation cells (shared with the 2D
+    harness's inline version)."""
+    order = np.argsort(exp)
+    obs, exp = obs.reshape(-1)[order], exp.reshape(-1)[order]
+    pooled_obs, pooled_exp = [], []
+    acc_o = acc_e = 0.0
+    for o, e in zip(obs, exp):
+        acc_o += o
+        acc_e += e
+        if acc_e >= 5.0:
+            pooled_obs.append(acc_o)
+            pooled_exp.append(acc_e)
+            acc_o = acc_e = 0.0
+    if acc_e > 0 and pooled_exp:
+        pooled_obs[-1] += acc_o
+        pooled_exp[-1] += acc_e
+    return np.asarray(pooled_obs), np.asarray(pooled_exp)

@@ -368,6 +368,12 @@ class EnvmapEmitter:
         return self._eval_dir(d, wavelengths, n_channels)
 
     def _pdf_dir(self, d_world):
+        """Exact density of the texel-CDF warp below: the texel's table mass
+        lum(y,x)*sin(theta_row_center) spreads uniformly over the texel in
+        (u, v), so in solid angle
+            p(d) = h*w * lum * sin(theta_c) / (2 pi^2 * total * sin(theta)).
+        (The sin factors do NOT cancel — dropping them misdistributes rows by
+        up to the per-row sin ratio; caught by the chi2 EmitterAdapter.)"""
         d = d_world @ self.to_world_rot
         theta = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0))
         phi = jnp.arctan2(-d[..., 0], d[..., 2])
@@ -376,29 +382,43 @@ class EnvmapEmitter:
         h, w = self.data.shape[0], self.data.shape[1]
         x = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
         y = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
-        lum = jnp.sum(self.data[y, x], axis=-1) * jnp.maximum(jnp.sin(theta), 1e-6)
-        row_pmf_total = self.row_cdf[-1]
-        # pixel probability = lum / total over map (row_cdf built from same weights)
-        pixel_p = lum / jnp.maximum(row_pmf_total, 1e-20)
-        # solid angle of a pixel: (2pi/w)(pi/h) sin(theta)
-        sa = (2 * jnp.pi / w) * (jnp.pi / h) * jnp.maximum(jnp.sin(theta), 1e-6)
-        return pixel_p / sa
+        lum = jnp.sum(self.data[y, x], axis=-1)
+        theta_c = (y.astype(jnp.float32) + 0.5) / h * jnp.pi
+        total = jnp.maximum(self.row_cdf[-1], 1e-20)
+        return (h * w) * lum * jnp.sin(theta_c) / (
+            2.0 * jnp.pi**2 * total * jnp.maximum(jnp.sin(theta), 1e-6)
+        )
 
     def sample_direction(self, ref_p, u2, geom, wavelengths, n_channels, emitter_index):
+        """Texel-CDF warp with CDF-residual jitter: the inversion residuals
+        give continuous (u, v) positions uniform within the selected texel
+        (reference: envmap.cpp:103 Hierarchical2D sample; texel-center-only
+        sampling is a DISCRETE distribution that biases NEE against any
+        direction-varying integrand)."""
         n_lanes = ref_p.shape[0]
         h, w = self.data.shape[0], self.data.shape[1]
+        uy = u2[..., 0] * self.row_cdf[-1]
         y = jnp.clip(
             jnp.searchsorted(
-                self.row_cdf, u2[..., 0] * self.row_cdf[-1], side="right",
+                self.row_cdf, uy, side="right",
                 method="compare_all" if h <= 512 else "scan",
             ),
             0, h - 1,
         )
+        lo_y = jnp.where(y > 0, self.row_cdf[jnp.maximum(y - 1, 0)], 0.0)
+        wgt_y = self.row_cdf[y] - lo_y
+        fy = jnp.clip((uy - lo_y) / jnp.maximum(wgt_y, 1e-20), 0.0, 1.0 - 1e-6)
         row = self.cond_cdf[y]
         tot = row[:, -1]
-        x = jnp.clip(_rowwise_searchsorted(row, u2[..., 1] * tot), 0, w - 1)
-        theta = (y.astype(jnp.float32) + 0.5) / h * jnp.pi
-        phi = ((x.astype(jnp.float32) + 0.5) / w - 0.5) * 2 * jnp.pi
+        ux = u2[..., 1] * tot
+        x = jnp.clip(_rowwise_searchsorted(row, ux), 0, w - 1)
+        lo_x = jnp.where(x > 0, jnp.take_along_axis(
+            row, jnp.maximum(x - 1, 0)[:, None], axis=1)[:, 0], 0.0)
+        wgt_x = jnp.take_along_axis(row, x[:, None], axis=1)[:, 0] - lo_x
+        fx = jnp.clip((ux - lo_x) / jnp.maximum(wgt_x, 1e-20), 0.0, 1.0 - 1e-6)
+
+        theta = (y.astype(jnp.float32) + fy) / h * jnp.pi
+        phi = ((x.astype(jnp.float32) + fx) / w - 0.5) * 2 * jnp.pi
         sin_t = jnp.sin(theta)
         d_local = jnp.stack(
             [-sin_t * jnp.sin(phi), jnp.cos(theta), sin_t * jnp.cos(phi)], axis=-1

@@ -89,3 +89,78 @@ def test_chi2_catches_wrong_pdf():
         seed=3,
     )
     assert not t.run(), t.messages
+
+
+def test_spectrum_visible_chi2():
+    """Wavelength importance sampling (reference chi2 SpectrumAdapter)."""
+    from mitsuba_tpu.chi2 import ChiSquareTest1D, SpectrumAdapter
+
+    s, p, lo, hi = SpectrumAdapter("visible")
+    t = ChiSquareTest1D(s, p, lo, hi, sample_count=200_000, seed=11)
+    assert t.run(), t.messages
+
+
+def test_spectrum_uniform_chi2():
+    from mitsuba_tpu.chi2 import ChiSquareTest1D, SpectrumAdapter
+
+    s, p, lo, hi = SpectrumAdapter("uniform")
+    t = ChiSquareTest1D(s, p, lo, hi, sample_count=100_000, seed=12)
+    assert t.run(), t.messages
+
+
+def test_emitter_nee_chi2_envmap():
+    """Scene-level NEE sample/pdf chi2 (reference chi2 EmitterAdapter) on a
+    smooth emitter: an envmap's importance-sampled directions must match the
+    MIS pdf over the whole sphere.  (Area lights have a discontinuous
+    solid-angle support that the cell quadrature cannot integrate reliably;
+    they are covered by the exact lane-wise test below.)"""
+    import numpy as np
+    import mitsuba_tpu as mi
+    from mitsuba_tpu.chi2 import ChiSquareTest, EmitterAdapter
+
+    mi.set_variant("rgb")
+    rng = np.random.default_rng(4)
+    img = (0.2 + rng.uniform(0, 1, (16, 32, 3)) ** 2).astype(np.float32)
+    scene = mi.load_dict({
+        "type": "scene",
+        "integrator": {"type": "path"},
+        "env": {"type": "envmap", "data": img},
+        "sensor": {
+            "type": "perspective",
+            "film": {"type": "hdrfilm", "width": 8, "height": 8},
+        },
+    })
+    s, p = EmitterAdapter(scene, [0.0, 0.0, 0.0])
+    t = ChiSquareTest(s, p, sample_count=400_000, seed=13)
+    assert t.run(), t.messages
+
+
+def test_emitter_nee_pdf_consistency_area():
+    """Exact lane-wise agreement between sample_emitter_direction's pdf and
+    the MIS query pdf (pdf_emitter_direction_hit) for the cornell-box area
+    light — the property the chi2 EmitterAdapter certifies, tested without
+    the discontinuity-quadrature caveat."""
+    import numpy as np
+    import jax.numpy as jnp
+    import mitsuba_tpu as mi
+    from mitsuba_tpu.core.rng import RNG
+    from mitsuba_tpu.render.records import Ray
+
+    mi.set_variant("rgb")
+    scene = mi.load_dict(mi.cornell_box())
+    n = 50_000
+    rng = RNG(5, np.arange(n, dtype=np.uint32))
+    u1, _, rng = rng.next_2d()
+    a, b, _ = rng.next_2d()
+    ref = jnp.broadcast_to(jnp.asarray([0.1, -0.2, 0.3], jnp.float32), (n, 3))
+    ds, _ = scene.sample_emitter_direction(
+        ref, u1, jnp.stack([a, b], -1), None, jnp.ones((n,), bool),
+        test_visibility=False,
+    )
+    si = scene.ray_intersect(Ray.make(ref, ds.d), jnp.ones((n,), bool))
+    pdf_q = np.asarray(scene.pdf_emitter_direction_hit(ref, si))
+    ds_pdf = np.asarray(ds.pdf)
+    ok = ds_pdf > 0
+    assert ok.mean() > 0.99
+    rel = np.abs(pdf_q[ok] - ds_pdf[ok]) / np.maximum(ds_pdf[ok], 1e-9)
+    assert rel.max() < 1e-4, rel.max()
