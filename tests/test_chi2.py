@@ -164,3 +164,52 @@ def test_emitter_nee_pdf_consistency_area():
     assert ok.mean() > 0.99
     rel = np.abs(pdf_q[ok] - ds_pdf[ok]) / np.maximum(ds_pdf[ok], 1e-9)
     assert rel.max() < 1e-4, rel.max()
+
+
+def test_emitter_nee_chi2_constant():
+    """Constant (uniform-sphere) environment emitter through the same
+    scene-level adapter."""
+    import mitsuba_tpu as mi
+    from mitsuba_tpu.chi2 import ChiSquareTest, EmitterAdapter
+
+    mi.set_variant("rgb")
+    scene = mi.load_dict({
+        "type": "scene",
+        "integrator": {"type": "path"},
+        "env": {"type": "constant", "radiance": {"type": "rgb", "value": [0.7, 0.8, 1.0]}},
+        "sensor": {
+            "type": "perspective",
+            "film": {"type": "hdrfilm", "width": 8, "height": 8},
+        },
+    })
+    s, p = EmitterAdapter(scene, [0.0, 0.0, 0.0])
+    t = ChiSquareTest(s, p, sample_count=200_000, seed=17)
+    assert t.run(), t.messages
+
+
+def test_emitter_nee_chi2_envmap_rotated():
+    """Envmap with a to_world rotation: sampling and pdf must agree in the
+    rotated frame too."""
+    import numpy as np
+    import mitsuba_tpu as mi
+    from mitsuba_tpu.chi2 import ChiSquareTest, EmitterAdapter
+
+    mi.set_variant("rgb")
+    rng = np.random.default_rng(9)
+    img = (0.1 + rng.uniform(0, 1, (12, 24, 3)) ** 2).astype(np.float32)
+    scene = mi.load_dict({
+        "type": "scene",
+        "integrator": {"type": "path"},
+        "env": {
+            "type": "envmap", "data": img,
+            "to_world": [{"type": "rotate", "axis": [0, 1, 0], "angle": 55.0},
+                         {"type": "rotate", "axis": [1, 0, 0], "angle": 20.0}],
+        },
+        "sensor": {
+            "type": "perspective",
+            "film": {"type": "hdrfilm", "width": 8, "height": 8},
+        },
+    })
+    s, p = EmitterAdapter(scene, [0.0, 0.0, 0.0])
+    t = ChiSquareTest(s, p, sample_count=400_000, seed=19)
+    assert t.run(), t.messages
