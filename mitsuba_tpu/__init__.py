@@ -39,3 +39,10 @@ OptixDenoiser = Denoiser  # reference-name alias (optixdenoiser.h wrapper)
 from .utils.io import Bitmap  # noqa: E402
 from .utils.observe import Log, LogLevel, set_log_level  # noqa: E402
 from .core.fresolver import FileResolver, file_resolver  # noqa: E402
+from .plugin_registry import (  # noqa: E402
+    register_plugin, unregister_plugin,
+    register_bsdf, register_texture, register_emitter, register_sensor,
+    register_shape, register_phase, register_phasefunction, register_medium,
+    register_volume, register_integrator, register_sampler, register_film,
+    register_rfilter,
+)

@@ -150,4 +150,11 @@ def make_integrator(spec):
         from .ptracer import PTracerIntegrator
 
         return PTracerIntegrator(max_depth=max_depth, rr_depth=rr_depth)
+    from .. import plugin_registry as PR
+
+    if PR.lookup("integrator", t) is not None:
+        out, _ = PR.construct("integrator", t, spec)
+        if isinstance(out, dict):
+            return make_integrator(out)
+        return out
     raise ValueError(f"unknown integrator type {t!r}")

@@ -194,6 +194,15 @@ class TwoStateMedium:
         return TwoStateMedium(current=medium, old=old if old is not None else medium)
 
 
+def _is_registered(category, t):
+    """True if t names a user-registered plugin of category (plugin_registry)."""
+    if t is None:
+        return False
+    from .. import plugin_registry as PR
+
+    return PR.lookup(category, t) is not None
+
+
 def parse_phase(spec, param_paths, phase_prefix, phase_path_root):
     """Parse a phase-function spec into an instance + registered params."""
     from . import phase as PH
@@ -229,6 +238,19 @@ def parse_phase(spec, param_paths, phase_prefix, phase_path_root):
         from .phase_polarized import parse_polarized_phase
 
         return parse_polarized_phase(spec, param_paths, phase_prefix, phase_path_root)
+    from .. import plugin_registry as PR
+
+    if PR.lookup("phase", t) is not None:
+        out, _ = PR.construct("phase", t, spec)
+        if isinstance(out, dict):
+            return parse_phase(out, param_paths, phase_prefix, phase_path_root)
+        tp = getattr(out, "traverse_paths", None)
+        if tp is not None:
+            for suffix, attr_path in tp():
+                param_paths.append(
+                    (f"{phase_prefix}.{suffix}", phase_path_root + tuple(attr_path))
+                )
+        return out
     raise ValueError(f"unknown phase type {t!r}")
 
 
@@ -238,9 +260,12 @@ def parse_medium(spec, name, phase_list, param_paths, medium_index):
     phase_spec = spec.get("phase")
     if phase_spec is None:
         for v in spec.values():
-            if isinstance(v, dict) and v.get("type") in (
-                "isotropic", "hg", "rayleigh", "mie", "tabphase",
-                "tabphase_polarized", "blendphase", "sggx",
+            if isinstance(v, dict) and (
+                v.get("type") in (
+                    "isotropic", "hg", "rayleigh", "mie", "tabphase",
+                    "tabphase_polarized", "blendphase", "sggx",
+                )
+                or _is_registered("phase", v.get("type"))
             ):
                 phase_spec = v
                 break
@@ -280,4 +305,23 @@ def parse_medium(spec, name, phase_list, param_paths, medium_index):
             sigma_t=st, albedo=al, scale=scale, max_density=max_density,
             phase_index=phase_index,
         )
+    from .. import plugin_registry as PR
+
+    if PR.lookup("medium", t) is not None:
+        # object-returning constructors need the index of the phase slot the
+        # loader reserved (Scene.medium_phase_of dispatches through it)
+        spec = dict(spec)
+        spec["_phase_index"] = phase_index
+        out, _ = PR.construct("medium", t, spec)
+        if isinstance(out, dict):
+            # expansion re-parses; drop the speculative phase slot we took
+            del phase_list[phase_index]
+            return parse_medium(out, name, phase_list, param_paths, medium_index)
+        tp = getattr(out, "traverse_paths", None)
+        if tp is not None:
+            for suffix, attr_path in tp():
+                param_paths.append(
+                    (f"{name}.{suffix}", ("media", medium_index) + tuple(attr_path))
+                )
+        return out
     raise ValueError(f"unknown medium type {t!r}")

@@ -12,6 +12,7 @@ import jax.numpy as jnp
 
 from ..variant import current_variant
 from ..core.transform import Transform, build_transform
+from .. import plugin_registry as PR
 from . import bsdfs as B
 from . import bsdf_principled as BP
 from . import emitters as E
@@ -52,6 +53,20 @@ INTEGRATOR_TYPES = {
 # ---------------------------------------------------------------------------
 # Textures / spectra
 # ---------------------------------------------------------------------------
+
+def _expand_registered(category, spec):
+    """Expand a spec whose type is a user-registered *structural* plugin
+    (shape/emitter/sensor/sampler/film/rfilter) into the builtin spec dict
+    its constructor returns (reference: PluginManager instantiation of
+    Python-registered trampolines, src/render/python/*_v.cpp
+    MI_PY_REGISTER_OBJECT)."""
+    if isinstance(spec, dict):
+        t = spec.get("type")
+        if t is not None and PR.lookup(category, t) is not None:
+            out, _ = PR.construct(category, t, spec)
+            return out
+    return spec
+
 
 def _floats(v):
     """Float list from a list/array or the reference's comma/space-separated
@@ -177,6 +192,17 @@ def parse_texture(spec, default=1.0, paths=None, prefix=None, emissive=False):
             ),
             "values3",
         )
+    if PR.lookup("texture", t) is not None:
+        out, _ = PR.construct("texture", t, spec)
+        if isinstance(out, dict):
+            return parse_texture(out, default, paths, prefix, emissive)
+        if isinstance(out, tuple) and len(out) == 2:
+            return out  # (texture, differentiable-leaf-name)
+        leaf = getattr(out, "param_leaf", None)
+        if leaf is None:
+            fields = getattr(out, "__dataclass_fields__", {})
+            leaf = "value" if "value" in fields else next(iter(fields), "value")
+        return out, leaf
     raise ValueError(f"unknown texture/spectrum type {t!r}")
 
 
@@ -538,6 +564,12 @@ def parse_bsdf(spec, name, paths):
         )
     if t == "null":
         return B.NullBSDF()
+    if PR.lookup("bsdf", t) is not None:
+        out, _ = PR.construct("bsdf", t, spec)
+        if isinstance(out, dict):
+            return parse_bsdf(out, name, paths)
+        PR.record_traverse_paths(out, name, paths)
+        return out
     raise ValueError(f"unknown bsdf type {t!r}")
 
 
@@ -694,8 +726,24 @@ def load_dict(d):
         elif t in SENSOR_TYPES:
             sensor, film, spp, sampler_type = parse_sensor(spec)
         elif t in EMITTER_TYPES:
+            if PR.lookup("emitter", t) is not None:
+                spec = _expand_registered("emitter", spec)
+                t = spec["type"]
+                if t not in EMITTER_TYPES or PR.lookup("emitter", t) is not None:
+                    raise ValueError(
+                        f"registered emitter plugin expanded to "
+                        f"non-builtin type {t!r}"
+                    )
             emitter_list.append(("env" if t in ("constant", "envmap") else "delta", name, spec))
         elif t in SHAPE_TYPES:
+            if PR.lookup("shape", t) is not None:
+                spec = _expand_registered("shape", spec)
+                t = spec["type"]
+                if t not in SHAPE_TYPES or PR.lookup("shape", t) is not None:
+                    raise ValueError(
+                        f"registered shape plugin expanded to "
+                        f"non-builtin type {t!r}"
+                    )
             shape_index = len(shape_records)
             to_world = build_transform(spec.get("to_world", Transform.identity()))
             if t == "rectangle":
@@ -1293,11 +1341,12 @@ def _load_serialized(filename, sub_index, to_world):
 
 
 def parse_sensor(spec):
+    spec = _expand_registered("sensor", spec)
     t = spec["type"]
-    film_spec = spec.get("film", {})
+    film_spec = _expand_registered("film", spec.get("film", {}))
     w = int(film_spec.get("width", 768))
     h = int(film_spec.get("height", 576))
-    rfilter = film_spec.get("rfilter", {"type": "gaussian"})
+    rfilter = _expand_registered("rfilter", film_spec.get("rfilter", {"type": "gaussian"}))
     rf_type = rfilter["type"] if isinstance(rfilter, dict) else str(rfilter)
     srfs = ()
     if film_spec.get("type") == "specfilm":
@@ -1333,7 +1382,7 @@ def parse_sensor(spec):
         width=w, height=h, rfilter=rf_type, crop_offset=crop_offset,
         crop_size=crop_size, srfs=srfs, srf_norms=srf_norms,
     )
-    sampler_spec = spec.get("sampler", {})
+    sampler_spec = _expand_registered("sampler", spec.get("sampler", {}))
     spp = int(sampler_spec.get("sample_count", 16))
     sampler_type = str(sampler_spec.get("type", "independent"))
     to_world = build_transform(spec.get("to_world", Transform.identity()))

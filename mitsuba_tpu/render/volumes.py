@@ -132,6 +132,17 @@ def parse_volume(spec, n_channels):
             ),
             "data",
         )
+    from .. import plugin_registry as PR
+
+    if PR.lookup("volume", t) is not None:
+        out, _ = PR.construct("volume", t, spec)
+        if isinstance(out, dict):
+            return parse_volume(out, n_channels)
+        leaf = getattr(out, "param_leaf", None)
+        if leaf is None:
+            fields = getattr(out, "__dataclass_fields__", {})
+            leaf = "value" if "value" in fields else next(iter(fields), "value")
+        return out, leaf
     raise ValueError(f"unknown volume type {t!r}")
 
 
