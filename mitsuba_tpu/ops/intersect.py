@@ -45,7 +45,12 @@ def _kernel(tri_ref, n_tri_ref, ox, oy, oz, dx, dy, dz, mt,
     best_u = jnp.zeros(o_x.shape, jnp.float32)
     best_v = jnp.zeros(o_x.shape, jnp.float32)
 
-    n_tri = n_tri_ref[0]
+    # Static trip count: the table's row count is a trace-time constant equal
+    # to geometry.n_tris (shapes.py pads both together), so the loop bound
+    # can be compile-time — lets Mosaic unroll/pipeline the triangle sweep
+    # instead of a serial scalar-bounded loop (n_tri_ref kept for ABI only;
+    # padded rows are degenerate -> det==0 -> never hit).
+    n_tri = tri_ref.shape[0]
 
     def body(k, carry):
         bt, bp, bu, bv = carry
@@ -86,9 +91,14 @@ def _kernel(tri_ref, n_tri_ref, ox, oy, oz, dx, dy, dz, mt,
         bv = jnp.where(hit, v, bv)
         return bt, bp, bu, bv
 
-    best_t, best_p, best_u, best_v = jax.lax.fori_loop(
-        0, n_tri, body, (best_t, best_p, best_u, best_v)
-    )
+    carry = (best_t, best_p, best_u, best_v)
+    if n_tri <= 64:
+        # full unroll: the whole sweep becomes one straight-line block
+        for k in range(n_tri):
+            carry = body(k, carry)
+    else:
+        carry = jax.lax.fori_loop(0, n_tri, body, carry, unroll=8)
+    best_t, best_p, best_u, best_v = carry
 
     t_out[...] = best_t
     p_out[...] = best_p
