@@ -250,13 +250,73 @@ class Scene:
         shape_idx = jnp.maximum(si.shape_index, 0)
         return jnp.where(si.shape_index >= 0, _int_lookup(self.shape_bsdf, shape_idx), -1)
 
+    def _fused_diffuse_idxs(self):
+        """Static (trace-time) indices of plain Lambertian instances with
+        uniform reflectance.  Scenes routinely hold several of these (cbox:
+        white/red/green); evaluating the SAME closed form once with a
+        per-lane [K, C] reflectance row lookup replaces K masked vcall
+        evaluations — the wavefront analog of Dr.Jit merging identical
+        vcall targets.  Only exact when the texture row is lane-independent,
+        so spectral mode (per-lane wavelengths) is excluded."""
+        from .bsdfs import DiffuseBSDF
+        from .textures import ConstantTexture
+
+        return tuple(
+            i for i, b in enumerate(self.bsdfs)
+            if type(b) is DiffuseBSDF and type(b.reflectance) is ConstantTexture
+        )
+
+    def _fused_diffuse_rows(self, idxs, wavelengths):
+        uv0 = jnp.zeros((1, 2), jnp.float32)
+        return jnp.concatenate(
+            [
+                self.bsdfs[i].reflectance.eval(uv0, wavelengths, self.n_channels)
+                for i in idxs
+            ],
+            axis=0,
+        )  # [K, C]
+
+    def _fused_diffuse_refl(self, idxs, b_idx, wavelengths):
+        """(in_group mask [N], per-lane reflectance [N, C]) for the fused
+        Lambertian group.  Select-chain rather than a one-hot matmul: K is
+        small and the select's transpose is equally cheap, which matters
+        inside the PRB replay's per-bounce vjp (a matmul transpose there
+        measured +50% on the whole backward pass)."""
+        rows = self._fused_diffuse_rows(idxs, wavelengths)
+        refl = jnp.zeros(b_idx.shape + (self.n_channels,), jnp.float32)
+        in_group = jnp.zeros(b_idx.shape, bool)
+        for k, i in enumerate(idxs):
+            hit = b_idx == i
+            refl = jnp.where(hit[..., None], rows[k], refl)
+            in_group = in_group | hit
+        return in_group, refl
+
     def bsdf_eval_pdf(self, si, wo, wavelengths, active):
         """Masked vcall over BSDF instances (eval + pdf fused)."""
+        from ..core.math import INV_PI
+        from ..core import warp
+
         n_lanes = si.p.shape[0]
         val = jnp.zeros((n_lanes, self.n_channels), jnp.float32)
         pdf = jnp.zeros((n_lanes,), jnp.float32)
         b_idx = self.bsdf_index_at(si)
+        fused = self._fused_diffuse_idxs() if wavelengths is None else ()
+        if len(fused) >= 2:
+            in_group, refl = self._fused_diffuse_refl(fused, b_idx, wavelengths)
+            cos_o = wo[..., 2]
+            ok = (si.wi[..., 2] > 0) & (cos_o > 0)
+            m = in_group & active
+            val = jnp.where(
+                (m & ok)[..., None],
+                refl * (INV_PI * jnp.maximum(cos_o, 0.0))[..., None],
+                val,
+            )
+            pdf = jnp.where(
+                m & ok, warp.square_to_cosine_hemisphere_pdf(wo), pdf
+            )
         for i, b in enumerate(self.bsdfs):
+            if i in fused and len(fused) >= 2:
+                continue
             m = (b_idx == i) & active
             if not b.flags_smooth:
                 continue
@@ -268,6 +328,7 @@ class Scene:
 
     def bsdf_sample(self, si, u_lobe, u2, wavelengths, active):
         from .records import BSDFSample
+        from ..core import warp
 
         n_lanes = si.p.shape[0]
         b_idx = self.bsdf_index_at(si)
@@ -278,7 +339,23 @@ class Scene:
             delta=jnp.zeros((n_lanes,), bool),
         )
         weight = jnp.zeros((n_lanes, self.n_channels), jnp.float32)
+        fused = self._fused_diffuse_idxs() if wavelengths is None else ()
+        if len(fused) >= 2:
+            in_group, refl = self._fused_diffuse_refl(fused, b_idx, wavelengths)
+            wo_c = warp.square_to_cosine_hemisphere(u2)
+            pdf_c = warp.square_to_cosine_hemisphere_pdf(wo_c)
+            ok = si.wi[..., 2] > 0
+            m = in_group & active
+            bs = BSDFSample(
+                wo=jnp.where(m[..., None], wo_c, bs.wo),
+                pdf=jnp.where(m & ok, pdf_c, bs.pdf),
+                eta=bs.eta,
+                delta=bs.delta,
+            )
+            weight = jnp.where((m & ok)[..., None], refl, weight)
         for i, b in enumerate(self.bsdfs):
+            if i in fused and len(fused) >= 2:
+                continue
             m = (b_idx == i) & active
             bs_i, w_i = b.sample(u_lobe, u2, si, wavelengths, self.n_channels)
             bs = BSDFSample(
