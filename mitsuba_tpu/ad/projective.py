@@ -23,12 +23,16 @@ mesh walks) and exact in the same limit: the interior (smooth) term is
 supplied by the differentiable intersection adjoint (ops/intersect.mt_vjp),
 the curve terms supply the Dirac part.
 
-Scope notes vs the reference: silhouettes of triangle meshes (analytic sphere
-silhouettes not yet sampled); delta emitters (point/spot/projector/
-directional) + area emitters for the shadow term; depth>=3 indirect boundary
-curves (seen via one or more reflections) are not yet sampled — matching
-direct_projective's capability exactly, and prb_projective's for the
-dominant first-vertex terms.
+Boundary coverage: (1) primarily visible silhouette curves (camera side),
+(2) shadow curves of DELTA emitters (point/spot/projector/directional;
+blocker edges projected from the emitter onto receivers), and (3) the
+receiver-side indirect term (`indirect_boundary_vjp`): jumps of the incident
+radiance field across silhouette edges as seen from the first path vertex —
+reflected silhouettes of moving geometry and AREA-emitter soft-shadow
+boundaries.  Scope notes vs the reference: silhouettes of triangle meshes
+(analytic sphere silhouettes not yet sampled); boundary segments deeper than
+the first reflection (camera->y1->y2->edge) are not sampled, matching the
+dominant terms of prb_projective.
 """
 from __future__ import annotations
 
@@ -408,6 +412,163 @@ def shadow_boundary_vjp(scene, d_img, seed, n_b, sensor_idx=0):
 
 
 # ---------------------------------------------------------------------------
+# Indirect (receiver-side, depth>=2) boundary term
+# ---------------------------------------------------------------------------
+
+def indirect_boundary_vjp(scene, d_img, seed, n_b, sensor_idx=0):
+    """Vertex-buffer cotangent of the *indirect* visibility boundary: jumps
+    of the incident radiance field L_in(y, omega) across silhouette edges as
+    seen from the first path vertex y (reference analog:
+    render_indirect_silhouette / eval_indirect_integrand for depth>=2
+    boundary segments, common.py:1661-1725, projective.py:390-518).
+
+    Complements (does not overlap) the other two passes:
+      * primary pass  = jumps of L seen by the CAMERA (first segment);
+      * shadow pass   = jumps of y's direct-NEE term for DELTA emitters
+        (delta emitters are unreachable by probe rays, so the radiance
+        probes here never see that Dirac);
+      * this pass     = jumps of the probe-visible radiance behind an edge —
+        reflected silhouettes of moving geometry AND area-emitter soft
+        shadow boundaries (the emitter surface is a probe-visible radiance
+        jump), which the emitter-side shadow pass does not cover.
+
+    Estimator: direction-space curve integral on the unit sphere at y,
+      dI/dtheta = E_pixels E_edges [ adj . (f*cos ΔL_in) (n_hat . dω/dθ)
+                    |dω/dℓ| * (W_mix * len_e / w_e) * WH / n_b ]
+    with edges drawn from a static mixture guide (camera-viewpoint
+    silhouette weights blended with uniform edge length — positive wherever
+    the per-lane silhouette indicator at y can be nonzero) and the per-lane
+    indicator deciding validity."""
+    geom = scene.geometry
+    sensor = scene.sensors[sensor_idx]
+    film = scene.film
+    verts = geom.vertices
+    wh = _film_wh(film)
+    W = film.width
+    H = film.height
+
+    # -- per-lane pixel + first vertex y ------------------------------------
+    rng = RNG(seed ^ jnp.uint32(0x1D17EC7), jnp.arange(n_b, dtype=jnp.uint32))
+    u_px, u_edge, rng = rng.next_2d()
+    u_t, _, rng = rng.next_2d()
+    pix = jnp.minimum((u_px * W * H).astype(jnp.int32), W * H - 1)
+    px = (pix % W).astype(jnp.float32) + 0.5
+    py = (pix // W).astype(jnp.float32) + 0.5
+    uv = jnp.stack([px, py], axis=-1) / wh
+    ray0 = sensor.sample_ray(uv, jnp.full((n_b, 2), 0.5, jnp.float32))
+    si1 = scene.ray_intersect(ray0, jnp.ones((n_b,), bool))
+    valid = si1.is_valid
+    y = si1.p
+
+    # -- edge point from the static mixture guide ---------------------------
+    w_cam, va_all, vb_all = silhouette_weights(geom, viewpoint=sensor.position)
+    length = jnp.linalg.norm(vb_all - va_all, axis=-1)
+    length = jnp.where(geom.edge_shape >= 0, length, 0.0)
+    w_mix = 0.5 * w_cam + 0.5 * length
+    e_idx, t, x, tan3, W_mix, len_e = sample_silhouette_points(
+        geom, w_mix, u_edge, u_t
+    )
+    w_e = w_mix[e_idx]
+    valid &= (w_e > 0) & (W_mix > 0)
+
+    # per-lane silhouette indicator at y (open edges always qualify)
+    f0 = jnp.clip(geom.edge_f[e_idx, 0], 0, geom.tri_ng.shape[0] - 1)
+    f1 = jnp.clip(geom.edge_f[e_idx, 1], 0, geom.tri_ng.shape[0] - 1)
+    n0 = geom.tri_ng[f0]
+    n1 = geom.tri_ng[f1]
+    to_y = y - x
+    s0 = jnp.sum(n0 * to_y, axis=-1) > 0
+    s1 = jnp.sum(n1 * to_y, axis=-1) > 0
+    open_edge = geom.edge_f[e_idx, 1] < 0
+    valid &= open_edge | (s0 != s1)
+
+    r = jnp.linalg.norm(x - y, axis=-1)
+    valid &= r > 1e-4
+    omega = (x - y) / jnp.maximum(r, 1e-12)[:, None]
+
+    # edge point visible from y?
+    occ = scene.ray_test(spawn_ray(y, si1.n, omega, maxt=r * (1.0 - 1e-3)), valid)
+    valid &= ~occ
+
+    # -- spherical tangent + curve normal at omega --------------------------
+    a_idx = geom.edge_v[e_idx, 0]
+    b_idx = geom.edge_v[e_idx, 1]
+    y_det = jax.lax.stop_gradient(y)
+
+    def omega_of(vts, tt):
+        xx = (1.0 - tt[:, None]) * vts[a_idx] + tt[:, None] * vts[b_idx]
+        dd = xx - y_det
+        return dd / jnp.maximum(
+            jnp.linalg.norm(dd, axis=-1, keepdims=True), 1e-12
+        )
+
+    tau = jax.jvp(lambda tt: omega_of(verts, tt), (t,), (jnp.ones_like(t),))[1]
+    tau_s = tau - jnp.sum(tau * omega, axis=-1, keepdims=True) * omega
+    tau_n = jnp.linalg.norm(tau_s, axis=-1)
+    valid &= tau_n > 1e-9
+    n_hat = jnp.cross(omega, tau_s / jnp.maximum(tau_n, 1e-12)[:, None])
+
+    # -- probes eps radians to both sides: classify fg/bg, ΔL_in ------------
+    eps_r = 5e-3
+    w_p = omega + eps_r * n_hat
+    w_p = w_p / jnp.linalg.norm(w_p, axis=-1, keepdims=True)
+    w_m = omega - eps_r * n_hat
+    w_m = w_m / jnp.linalg.norm(w_m, axis=-1, keepdims=True)
+    ray_p = spawn_ray(y, si1.n, w_p)
+    ray_m = spawn_ray(y, si1.n, w_m)
+    si_p = scene.ray_intersect(ray_p, valid)
+    si_m = scene.ray_intersect(ray_m, valid)
+    tol = 0.05 * r
+    shp = geom.edge_shape[e_idx]
+    match_p = (si_p.shape_index == shp) & (jnp.abs(si_p.t - r) < tol)
+    match_m = (si_m.shape_index == shp) & (jnp.abs(si_m.t - r) < tol)
+    fg_plus = match_p & ~match_m
+    fg_minus = match_m & ~match_p
+    valid &= fg_plus | fg_minus
+    n_hat = jnp.where(fg_plus[:, None], -n_hat, n_hat)  # toward background
+
+    L_p = _radiance(scene, ray_p, seed, 0x17D10003, valid)
+    L_m = _radiance(scene, ray_m, seed, 0x17D20004, valid)
+    dL = jnp.where(fg_plus[:, None], L_p - L_m, L_m - L_p)  # [N, C]
+
+    # -- BSDF weight at y (f * cos, smooth lobes only) ----------------------
+    wi_dir = -ray0.d
+    si_eval = si1.replace(
+        wi=jnp.stack(
+            [
+                jnp.sum(wi_dir * si1.sh_s, axis=-1),
+                jnp.sum(wi_dir * si1.sh_t, axis=-1),
+                jnp.sum(wi_dir * si1.sh_n, axis=-1),
+            ],
+            axis=-1,
+        )
+    )
+    wo_local = jnp.stack(
+        [
+            jnp.sum(omega * si1.sh_s, axis=-1),
+            jnp.sum(omega * si1.sh_t, axis=-1),
+            jnp.sum(omega * si1.sh_n, axis=-1),
+        ],
+        axis=-1,
+    )
+    f_val, _ = scene.bsdf_eval_pdf(si_eval, wo_local, None, valid)
+
+    adj = _gather_adjoint(d_img, jnp.stack([px, py], axis=-1), valid)
+    c = jnp.sum(adj * f_val * dL, axis=-1)                       # [N]
+    k = jnp.where(
+        valid,
+        c * tau_n * W_mix / (jnp.maximum(w_e, 1e-12) * n_b) * (W * H),
+        0.0,
+    )
+
+    def phi(vts):
+        om = omega_of(vts, t)
+        return jnp.sum(k * jnp.sum(n_hat * om, axis=-1))
+
+    return jax.grad(phi)(verts)
+
+
+# ---------------------------------------------------------------------------
 # Projective render op (the _RenderOp / PSIntegrator.render_ad analog)
 # ---------------------------------------------------------------------------
 
@@ -484,6 +645,9 @@ def _pr_bwd(spp, sensor_idx, sppp, sppi, res, d_img):
         )
     if sppi > 0:
         gv = gv + shadow_boundary_vjp(
+            scene, d_img, seed, n_pix * sppi, sensor_idx
+        )
+        gv = gv + indirect_boundary_vjp(
             scene, d_img, seed, n_pix * sppi, sensor_idx
         )
     vts = ct_scene.geometry.vertices

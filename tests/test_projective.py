@@ -132,3 +132,53 @@ def test_detached_integrator_misses_boundary():
     scene = _silhouette_scene({"type": "direct"})
     fd, ad = _fd_vs_ad(scene, "occluder.vertex_positions")
     assert abs(ad) < 0.35 * abs(fd), (ad, fd)
+
+
+def _area_shadow_scene(integrator):
+    """AREA emitter + floor + occluder, emitter and occluder both OUTSIDE
+    the 30-degree view cone: the only image change from scaling the
+    occluder is its moving soft shadow on the floor.  The emitter-side
+    shadow pass skips area emitters; this boundary is carried by the
+    receiver-side indirect pass (indirect_boundary_vjp)."""
+    return mi.load_dict({
+        "type": "scene",
+        "integrator": integrator,
+        "sensor": {
+            "type": "perspective",
+            "fov": 30.0,
+            "to_world": {"type": "look_at", "origin": [0, 0, 5],
+                         "target": [0, 0, 0], "up": [0, 1, 0]},
+            "film": {"type": "hdrfilm", "width": 24, "height": 24,
+                     "rfilter": {"type": "box"}},
+        },
+        "floor": {
+            "type": "rectangle",
+            "to_world": mi.Transform.scale([8, 8, 1]),
+            "bsdf": {"type": "diffuse", "reflectance": {"type": "rgb", "value": [0.7, 0.7, 0.7]}},
+        },
+        # occluder off to the side, outside the view cone
+        "occluder": {
+            "type": "rectangle",
+            "to_world": mi.Transform.translate([2.5, 1.0, 2.0]) @ mi.Transform.scale([0.9, 0.9, 1]),
+            "bsdf": {"type": "diffuse", "reflectance": {"type": "rgb", "value": [0.2, 0.2, 0.2]}},
+        },
+        # small area panel standing in for the point light of _shadow_scene
+        "panel": {
+            "type": "rectangle",
+            "to_world": (
+                mi.Transform.translate([5.0, 2.0, 4.5])
+                @ mi.Transform.look_at([0, 0, 0], [-5.0, -2.0, -4.5], [0, 1, 0])
+                @ mi.Transform.scale([0.4, 0.4, 1])
+            ),
+            "emitter": {"type": "area", "radiance": {"type": "rgb", "value": [120.0, 120.0, 120.0]}},
+        },
+    })
+
+
+def test_area_shadow_boundary_gradient():
+    scene = _area_shadow_scene(
+        {"type": "direct_projective", "sppp": 0, "sppi": 24}
+    )
+    fd, ad = _fd_vs_ad(scene, "occluder.vertex_positions", spp_fd=768)
+    assert abs(fd) > 1.0, fd
+    assert abs(ad - fd) < 0.2 * abs(fd), (ad, fd)
