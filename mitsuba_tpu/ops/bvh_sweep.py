@@ -22,6 +22,14 @@ around the machine instead:
 
 Termination is structural: `node` strictly increases in DFS order (child =
 node+1, skip > node), so the walk is at most n_nodes steps.
+
+Measured negative results (kept for the record, 200k-tri bench, v5e):
+unrolled/predicated window walks and a register-resident cummax visit
+computation were each within noise or slower (the kernel is VPU-instruction
+-bound, not walk-latency-bound); a Baldwin–Weber tile (plane + barycentric
+row forms, ~25% fewer ops on paper) lowered to ~20% SLOWER code than the
+Möller–Trumbore tile (worse fma/broadcast mix); leaf widths 16/32/128 and
+NWIN 16/64 all lost to the 64/32 defaults.
 """
 from __future__ import annotations
 
