@@ -412,6 +412,113 @@ def shadow_boundary_vjp(scene, d_img, seed, n_b, sensor_idx=0):
 
 
 # ---------------------------------------------------------------------------
+# Analytic sphere silhouettes (primarily visible term)
+# ---------------------------------------------------------------------------
+
+def sphere_boundary_vjp(scene, d_img, seed, n_b, sensor_idx=0):
+    """(d center [S,3], d radius [S]) cotangents of the primarily visible
+    silhouette of analytic spheres.  The silhouette of a sphere (c, r) from
+    viewpoint vp is the circle of radius rho = r*sqrt(1-(r/L)^2) centered at
+    c - (r^2/L) d_hat (L = |c-vp|, d_hat = (c-vp)/L); it is sampled in the
+    angle phi and differentiated through the attached map (c, r) -> x(phi)
+    with the same image-space curve estimator as the mesh-edge term
+    (reference: Sphere::sample_silhouette / Discontinuous flags,
+    src/shapes/sphere.cpp)."""
+    geom = scene.geometry
+    sensor = scene.sensors[sensor_idx]
+    film = scene.film
+    vp = sensor.position
+    wh = _film_wh(film)
+
+    from ..core.frame import coordinate_system
+
+    S = geom.n_spheres
+    ct_c = jnp.zeros_like(geom.sph_center)
+    ct_r = jnp.zeros_like(geom.sph_radius)
+    for s in range(S):
+        c0 = geom.sph_center[s]
+        r0 = geom.sph_radius[s]
+        shp = geom.sph_shape[s]
+
+        rng = RNG(seed ^ jnp.uint32(0x5B4E0100 + s), jnp.arange(n_b, dtype=jnp.uint32))
+        u_phi, _, rng = rng.next_2d()
+        phi = u_phi * (2.0 * np.pi)
+
+        dvec0 = c0 - vp
+        L0 = jnp.linalg.norm(dvec0)
+        dh0 = dvec0 / jnp.maximum(L0, 1e-12)
+        e1b, e2b = coordinate_system(dh0[None, :])
+        e1b = jax.lax.stop_gradient(e1b[0])
+        e2b = jax.lax.stop_gradient(e2b[0])
+
+        def x_of(cc, rr, ph):
+            dv = cc - vp
+            Ln = jnp.maximum(jnp.linalg.norm(dv), 1e-12)
+            dh = dv / Ln
+            sin2 = jnp.clip((rr / Ln) ** 2, 0.0, 1.0 - 1e-6)
+            rho = rr * jnp.sqrt(1.0 - sin2)
+            base = cc - (rr * rr / Ln) * dh
+            return base[None, :] + rho * (
+                jnp.cos(ph)[:, None] * e1b[None, :]
+                + jnp.sin(ph)[:, None] * e2b[None, :]
+            )
+
+        x = x_of(c0, r0, phi)
+        valid = jnp.broadcast_to(L0 > r0 * 1.001, (n_b,)) & (shp >= 0)
+
+        dist = jnp.linalg.norm(x - vp, axis=-1)
+        d_vx = (x - vp) / jnp.maximum(dist, 1e-12)[:, None]
+        occ = scene.ray_test(
+            Ray(o=jnp.broadcast_to(vp, x.shape), d=d_vx, maxt=dist * (1.0 - 1e-3)),
+            valid,
+        )
+        valid &= ~occ
+
+        pi_px, ok = _project_px(sensor, film, x)
+        valid &= ok
+        tau = jax.jvp(
+            lambda ph: _project_px(sensor, film, x_of(c0, r0, ph))[0],
+            (phi,), (jnp.ones_like(phi),),
+        )[1]
+        tau_n = jnp.linalg.norm(tau, axis=-1)
+        valid &= tau_n > 1e-9
+        n_hat = _perp(tau) / jnp.maximum(tau_n, 1e-12)[:, None]
+
+        eps_px = 0.05
+        uv_p = (pi_px + eps_px * n_hat) / wh
+        uv_m = (pi_px - eps_px * n_hat) / wh
+        ap = jnp.full((n_b, 2), 0.5, jnp.float32)
+        ray_p = sensor.sample_ray(uv_p, ap)
+        ray_m = sensor.sample_ray(uv_m, ap)
+        si_p = scene.ray_intersect(ray_p, valid)
+        si_m = scene.ray_intersect(ray_m, valid)
+        tol = 0.05 * dist
+        match_p = (si_p.shape_index == shp) & (jnp.abs(si_p.t - dist) < tol)
+        match_m = (si_m.shape_index == shp) & (jnp.abs(si_m.t - dist) < tol)
+        fg_plus = match_p & ~match_m
+        fg_minus = match_m & ~match_p
+        valid &= fg_plus | fg_minus
+        n_hat = jnp.where(fg_plus[:, None], -n_hat, n_hat)
+
+        L_p = _radiance(scene, ray_p, seed, 0x5FA10005 + s, valid)
+        L_m = _radiance(scene, ray_m, seed, 0x5FB20006 + s, valid)
+        dL = jnp.where(fg_plus[:, None], L_p - L_m, L_m - L_p)
+
+        adj = _gather_adjoint(d_img, pi_px, valid)
+        cval = jnp.sum(adj * dL, axis=-1)
+        k = jnp.where(valid, cval * tau_n * (2.0 * np.pi) / n_b, 0.0)
+
+        def phi_fn(cc, rr):
+            px = _project_px(sensor, film, x_of(cc, rr, phi))[0]
+            return jnp.sum(k * jnp.sum(n_hat * px, axis=-1))
+
+        gc, gr = jax.grad(phi_fn, argnums=(0, 1))(c0, r0)
+        ct_c = ct_c.at[s].add(gc)
+        ct_r = ct_r.at[s].add(gr)
+    return ct_c, ct_r
+
+
+# ---------------------------------------------------------------------------
 # Indirect (receiver-side, depth>=2) boundary term
 # ---------------------------------------------------------------------------
 
@@ -616,6 +723,8 @@ def _pr_bwd(spp, sensor_idx, sppp, sppi, res, d_img):
 
     n_pix = scene.film.width * scene.film.height
     gv = jnp.zeros_like(scene.geometry.vertices)
+    gsc = jnp.zeros_like(scene.geometry.sph_center)
+    gsr = jnp.zeros_like(scene.geometry.sph_radius)
     if getattr(scene.integrator.base, "is_prb", False):
         # the PRB replay detaches geometry; recover the interior vertex term
         # with a vertices-only tape pass through the equivalent path
@@ -630,19 +739,33 @@ def _pr_bwd(spp, sensor_idx, sppp, sppi, res, d_img):
             hide_emitters=getattr(base, "hide_emitters", False),
         )
 
-        def geo_f(vts):
+        def geo_f(vts, sc, sr):
             s2 = scene.replace(
-                integrator=pi, geometry=scene.geometry.replace(vertices=vts)
+                integrator=pi,
+                geometry=scene.geometry.replace(
+                    vertices=vts, sph_center=sc, sph_radius=sr
+                ),
             )
             return _primal_image(s2, seed, spp, sensor_idx)
 
-        _, gvjp = jax.vjp(geo_f, scene.geometry.vertices)
-        (gv_int,) = gvjp(d_img)
+        _, gvjp = jax.vjp(
+            geo_f, scene.geometry.vertices, scene.geometry.sph_center,
+            scene.geometry.sph_radius,
+        )
+        gv_int, gsc_int, gsr_int = gvjp(d_img)
         gv = gv + gv_int
+        gsc = gsc + gsc_int
+        gsr = gsr + gsr_int
     if sppp > 0:
         gv = gv + primary_boundary_vjp(
             scene, d_img, seed, n_pix * sppp, sensor_idx
         )
+        if scene.geometry.n_spheres > 0:
+            sc_b, sr_b = sphere_boundary_vjp(
+                scene, d_img, seed, n_pix * sppp, sensor_idx
+            )
+            gsc = gsc + sc_b
+            gsr = gsr + sr_b
     if sppi > 0:
         gv = gv + shadow_boundary_vjp(
             scene, d_img, seed, n_pix * sppi, sensor_idx
@@ -653,6 +776,16 @@ def _pr_bwd(spp, sensor_idx, sppp, sppi, res, d_img):
     vts = ct_scene.geometry.vertices
     if isinstance(vts, jax.Array) and jnp.issubdtype(vts.dtype, jnp.floating):
         gv = gv + vts
+    for arr, acc in (("sph_center", gsc), ("sph_radius", gsr)):
+        old = getattr(ct_scene.geometry, arr)
+        if isinstance(old, jax.Array) and jnp.issubdtype(old.dtype, jnp.floating):
+            ct_scene = ct_scene.replace(
+                geometry=ct_scene.geometry.replace(**{arr: old + acc})
+            )
+        else:
+            ct_scene = ct_scene.replace(
+                geometry=ct_scene.geometry.replace(**{arr: acc})
+            )
     ct_scene = ct_scene.replace(geometry=ct_scene.geometry.replace(vertices=gv))
     ct_seed = np.zeros((), jax.dtypes.float0)
     return ct_scene, ct_seed

@@ -823,8 +823,20 @@ def load_dict(d):
                 mm = np.asarray(to_world.m)
                 c = mm[:3, :3] @ c + mm[:3, 3]
                 scale = float(np.cbrt(abs(np.linalg.det(mm[:3, :3]))))
+                s_i = len(spheres)
                 spheres.append(
                     {"center": c, "radius": r * scale, "shape_index": shape_index}
+                )
+                # differentiable analytic-sphere parameters (reference:
+                # sphere.cpp traverse(): to_world/center/radius marked
+                # Differentiable|Discontinuous)
+                param_paths.append(
+                    (f"{name}.center",
+                     ("geometry", "sph_center", ("slice", s_i, s_i + 1)))
+                )
+                param_paths.append(
+                    (f"{name}.radius",
+                     ("geometry", "sph_radius", ("slice", s_i, s_i + 1)))
                 )
             elif t == "cylinder":
                 # open cylinder p0->p1 tessellated to a triangle strip

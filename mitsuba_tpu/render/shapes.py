@@ -524,7 +524,10 @@ def _sphere_pass(geom: Geometry, ray: Ray, best_t, best_prim, best_uv):
         b = jnp.sum(oc * ray.d[:, None, :], axis=-1)          # [N,S]
         c = jnp.sum(oc * oc, axis=-1) - geom.sph_radius[None] ** 2
         disc = b * b - c
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        # masked sqrt: sqrt(max(disc,0)) has a NaN adjoint at disc<=0
+        # (0 * inf) which would poison center/radius gradients
+        pos = disc > 0.0
+        sq = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
         t0 = -b - sq
         t1 = -b + sq
         t_s = jnp.where(t0 > 0.0, t0, t1)

@@ -175,6 +175,51 @@ def _area_shadow_scene(integrator):
     })
 
 
+def test_sphere_silhouette_gradient():
+    """Analytic-sphere silhouette boundary (sphere_boundary_vjp): growing a
+    dark sphere in front of an emissive background darkens the image at a
+    rate set by the silhouette circle; FD vs projective AD on the sphere's
+    differentiable `radius` parameter (reference: sphere.cpp
+    sample_silhouette / Discontinuous param flags)."""
+    scene = mi.load_dict({
+        "type": "scene",
+        "integrator": {"type": "direct_projective", "sppp": 24, "sppi": 0},
+        "sensor": {
+            "type": "perspective",
+            "fov": 40.0,
+            "to_world": {"type": "look_at", "origin": [0, 0, 4],
+                         "target": [0, 0, 0], "up": [0, 1, 0]},
+            "film": {"type": "hdrfilm", "width": 24, "height": 24,
+                     "rfilter": {"type": "box"}},
+        },
+        "bg": {
+            "type": "rectangle",
+            "to_world": mi.Transform.translate([0, 0, -1]) @ mi.Transform.scale([6, 6, 1]),
+            "emitter": {"type": "area", "radiance": {"type": "rgb", "value": [1.0, 0.8, 0.6]}},
+        },
+        "occluder": {
+            "type": "sphere",
+            "center": [0.3, 0.0, 1.0],
+            "radius": 0.5,
+            "bsdf": {"type": "diffuse", "reflectance": {"type": "rgb", "value": [0.1, 0.1, 0.1]}},
+        },
+    })
+    path = _path_for(scene, "occluder.radius")
+    base = _tree_get(scene, path)
+
+    def loss(dr, spp):
+        s2 = _tree_set(scene, path, base + dr)
+        return jnp.sum(mi.render(s2, spp=spp, seed=7))
+
+    eps = 1e-2
+    fd = float(
+        (loss(jnp.asarray(eps), 512) - loss(jnp.asarray(-eps), 512)) / (2 * eps)
+    )
+    ad = float(jax.grad(lambda t: loss(t, 64))(jnp.asarray(0.0)))
+    assert abs(fd) > 10.0, fd
+    assert abs(ad - fd) < 0.12 * abs(fd), (ad, fd)
+
+
 def test_area_shadow_boundary_gradient():
     scene = _area_shadow_scene(
         {"type": "direct_projective", "sppp": 0, "sppi": 24}
