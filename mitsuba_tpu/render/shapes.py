@@ -608,44 +608,51 @@ def compute_surface_interaction(geom: Geometry, ray: Ray, pi: PreliminaryInterse
     v = pi.prim_uv[:, 1]
     w = 1.0 - u - v
     T = geom.tri_ng.shape[0]
-    tbl = jnp.concatenate(
-        [
-            geom.tri_ng,                                   # 0:3
-            geom.tri_vn.reshape(T, 9),                     # 3:12
-            geom.tri_uv.reshape(T, 6),                     # 12:18
-            geom.tri_shape[:, None].astype(jnp.float32),   # 18
-        ],
-        axis=-1,
-    )
-    row = lookup_rows(tbl, tprim)
+    # the vertex-normal columns ride the lookup only when any mesh has them
+    # (cbox-style scenes save 9 of 20 table columns in the MXU contraction)
+    cols = [
+        geom.tri_ng,                                   # 0:3
+        geom.tri_uv.reshape(T, 6),                     # 3:9
+        geom.tri_shape[:, None].astype(jnp.float32),   # 9
+    ]
+    if geom.has_vertex_normals:
+        cols.append(geom.tri_vn.reshape(T, 9))         # 10:19
+    row = lookup_rows(jnp.concatenate(cols, axis=-1), tprim)
     ng_t = row[..., 0:3]
-    vn = row[..., 3:12].reshape(-1, 3, 3)
-    sh_n_t = normalize(
-        w[:, None] * vn[:, 0] + u[:, None] * vn[:, 1] + v[:, None] * vn[:, 2]
-    ) if geom.has_vertex_normals else ng_t
-    uv3 = row[..., 12:18].reshape(-1, 3, 2)
+    if geom.has_vertex_normals:
+        vn = row[..., 10:19].reshape(-1, 3, 3)
+        sh_n_t = normalize(
+            w[:, None] * vn[:, 0] + u[:, None] * vn[:, 1] + v[:, None] * vn[:, 2]
+        )
+    else:
+        sh_n_t = ng_t
+    uv3 = row[..., 3:9].reshape(-1, 3, 2)
     uv_t = w[:, None] * uv3[:, 0] + u[:, None] * uv3[:, 1] + v[:, None] * uv3[:, 2]
-    shape_t = row[..., 18].astype(jnp.int32)
+    shape_t = row[..., 9].astype(jnp.int32)
 
-    # sphere attributes
-    sprim = jnp.clip(prim - geom.n_tris, 0, max(geom.n_spheres - 1, 0))
-    sph_tbl = jnp.concatenate(
-        [geom.sph_center, geom.sph_shape[:, None].astype(jnp.float32)], axis=-1
-    )
-    sph_row = lookup_rows(sph_tbl, sprim)
-    center = sph_row[..., 0:3]
-    ng_s = normalize(p - center)
-    theta = jnp.arccos(jnp.clip(ng_s[:, 2], -1.0, 1.0))
-    phi = jnp.arctan2(ng_s[:, 1], ng_s[:, 0])
-    uv_s = jnp.stack(
-        [phi / (2 * jnp.pi) + 0.5, theta / jnp.pi], axis=-1
-    )
-    shape_s = sph_row[..., 3].astype(jnp.int32)
+    if geom.n_spheres > 0:
+        # sphere attributes (statically absent from tri-only scenes: the
+        # per-lane arccos/arctan2 sphere-uv transcendentals are not free)
+        sprim = jnp.clip(prim - geom.n_tris, 0, max(geom.n_spheres - 1, 0))
+        sph_tbl = jnp.concatenate(
+            [geom.sph_center, geom.sph_shape[:, None].astype(jnp.float32)], axis=-1
+        )
+        sph_row = lookup_rows(sph_tbl, sprim)
+        center = sph_row[..., 0:3]
+        ng_s = normalize(p - center)
+        theta = jnp.arccos(jnp.clip(ng_s[:, 2], -1.0, 1.0))
+        phi = jnp.arctan2(ng_s[:, 1], ng_s[:, 0])
+        uv_s = jnp.stack(
+            [phi / (2 * jnp.pi) + 0.5, theta / jnp.pi], axis=-1
+        )
+        shape_s = sph_row[..., 3].astype(jnp.int32)
 
-    ng = jnp.where(is_tri[:, None], ng_t, ng_s)
-    sh_n = jnp.where(is_tri[:, None], sh_n_t, ng_s)
-    uv = jnp.where(is_tri[:, None], uv_t, uv_s)
-    shape_index = jnp.where(is_tri, shape_t, shape_s)
+        ng = jnp.where(is_tri[:, None], ng_t, ng_s)
+        sh_n = jnp.where(is_tri[:, None], sh_n_t, ng_s)
+        uv = jnp.where(is_tri[:, None], uv_t, uv_s)
+        shape_index = jnp.where(is_tri, shape_t, shape_s)
+    else:
+        ng, sh_n, uv, shape_index = ng_t, sh_n_t, uv_t, shape_t
 
     if geom.n_sdfs > 0:
         # SDF normal: local gradient mapped by the inverse-transpose
