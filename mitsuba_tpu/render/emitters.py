@@ -117,6 +117,84 @@ class AreaEmitter:
 
 
 @struct.dataclass
+class SphereAreaEmitter:
+    """Diffuse area light on an analytic sphere with EXACT solid-angle cone
+    sampling (reference: src/shapes/sphere.cpp sample_direction — uniform
+    cone of half-angle asin(r/L) — consumed by src/emitters/area.cpp through
+    the Shape interface).  Every sampled direction hits the sphere, and the
+    pdf is constant over the subtended cone, so NEE variance is far below
+    area sampling for small/far spheres."""
+
+    radiance: object            # texture
+    center: jnp.ndarray         # [3]
+    radius: jnp.ndarray         # []
+    shape_index: int = struct.field(pytree_node=False)
+
+    is_environment = False
+    is_delta = False
+
+    def eval(self, si, wavelengths, n_channels):
+        front = si.wi[..., 2] > 0
+        val = self.radiance.eval(si.uv, wavelengths, n_channels)
+        return jnp.where(front[..., None], val, 0.0)
+
+    def _cone(self, ref_p):
+        dc = self.center - ref_p
+        L2 = jnp.sum(dc * dc, axis=-1)
+        L = safe_sqrt(jnp.maximum(L2, 1e-20))
+        dh = dc / L[..., None]
+        r = self.radius
+        outside = L > r * 1.0001
+        sin2_max = jnp.clip((r / jnp.maximum(L, 1e-12)) ** 2, 0.0, 1.0 - 1e-7)
+        cos_max = safe_sqrt(1.0 - sin2_max)
+        return dc, L2, L, dh, outside, cos_max
+
+    def sample_direction(self, ref_p, u2, geom, wavelengths, n_channels, emitter_index):
+        from ..core.frame import coordinate_system
+
+        n_lanes = ref_p.shape[0]
+        dc, L2, L, dh, outside, cos_max = self._cone(ref_p)
+        cos_t = 1.0 - u2[..., 0] * (1.0 - cos_max)
+        sin_t = safe_sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+        phi = (2.0 * jnp.pi) * u2[..., 1]
+        e1, e2 = coordinate_system(dh)
+        d = (
+            cos_t[..., None] * dh
+            + sin_t[..., None] * (jnp.cos(phi)[..., None] * e1
+                                  + jnp.sin(phi)[..., None] * e2)
+        )
+        # near intersection distance along d (guaranteed >= 0 inside the cone
+        # up to round-off; clamp the discriminant)
+        b = jnp.sum(d * dc, axis=-1)
+        disc = b * b - (L2 - self.radius ** 2)
+        dist = b - safe_sqrt(jnp.maximum(disc, 0.0))
+        p = ref_p + dist[..., None] * d
+        n = normalize(p - self.center)
+        solid = (2.0 * jnp.pi) * jnp.maximum(1.0 - cos_max, 1e-12)
+        pdf = jnp.where(outside, 1.0 / solid, 0.0)
+        uv = _sphere_uv(n)
+        val = self.radiance.eval(uv, wavelengths, n_channels)
+        weight = jnp.where(
+            outside[..., None], val * solid[..., None], 0.0
+        )
+        ds = _ds(p, n, d, dist, pdf, False, emitter_index, n_lanes, uv=uv)
+        return ds, weight
+
+    def pdf_direction(self, ref_p, si):
+        """Cone pdf for a direction from ref_p known to hit this sphere
+        (si.p on the surface is inside the subtended cone by construction)."""
+        _, _, _, _, outside, cos_max = self._cone(ref_p)
+        solid = (2.0 * jnp.pi) * jnp.maximum(1.0 - cos_max, 1e-12)
+        return jnp.where(outside, 1.0 / solid, 0.0)
+
+
+def _sphere_uv(n):
+    theta = jnp.arccos(jnp.clip(n[..., 2], -1.0, 1.0))
+    phi = jnp.arctan2(n[..., 1], n[..., 0])
+    return jnp.stack([phi / (2.0 * jnp.pi) + 0.5, theta / jnp.pi], axis=-1)
+
+
+@struct.dataclass
 class PointEmitter:
     """Isotropic point light (reference: src/emitters/point.cpp)."""
 

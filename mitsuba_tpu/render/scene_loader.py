@@ -977,8 +977,28 @@ def load_dict(d):
     tri_shape_np = np.asarray(geometry.tri_shape)
     tri_e1_np = np.asarray(geometry.tri_e1)
     tri_e2_np = np.asarray(geometry.tri_e2)
+    sphere_by_shape = {s["shape_index"]: i for i, s in enumerate(spheres)}
     for shape_index, em_spec, shape_name in shape_emitter_specs:
         tex, leaf = parse_texture(em_spec.get("radiance", 1.0), emissive=True)
+        if shape_index in sphere_by_shape:
+            # analytic sphere light: exact cone sampling instead of a
+            # triangle CDF (reference: sphere.cpp sample_direction)
+            s_i = sphere_by_shape[shape_index]
+            e_idx = len(emitters)
+            emitters.append(
+                E.SphereAreaEmitter(
+                    radiance=tex,
+                    center=geometry.sph_center[s_i],
+                    radius=geometry.sph_radius[s_i],
+                    shape_index=shape_index,
+                )
+            )
+            param_paths.append(
+                (f"{shape_name}.emitter.radiance.{leaf}",
+                 ("emitters", e_idx, "radiance", leaf))
+            )
+            shape_records[shape_index]["emitter"] = e_idx
+            continue
         tri_idx = np.nonzero(tri_shape_np == shape_index)[0].astype(np.int32)
         areas = 0.5 * np.linalg.norm(
             np.cross(tri_e1_np[tri_idx], tri_e2_np[tri_idx]), axis=-1
@@ -1244,6 +1264,9 @@ def _emitter_power(em, scene_radius):
         return 4.0 * np.pi * float(np.sum(np.mean(np.asarray(em.values), axis=-1)))
     if isinstance(em, (E.AreaEmitter, E.DirectionalAreaEmitter)):
         return float(np.pi * float(em.total_area) * tex_mean(em.radiance))
+    if isinstance(em, E.SphereAreaEmitter):
+        area = 4.0 * np.pi * float(em.radius) ** 2
+        return float(np.pi * area * tex_mean(em.radiance))
     if isinstance(em, E.PointEmitter):
         return 4.0 * np.pi * tex_mean(em.intensity)
     if isinstance(em, E.ConstantEmitter):
