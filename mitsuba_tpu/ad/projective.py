@@ -518,6 +518,180 @@ def sphere_boundary_vjp(scene, d_img, seed, n_b, sensor_idx=0):
     return ct_c, ct_r
 
 
+def sphere_shadow_boundary_vjp(scene, d_img, seed, n_b, sensor_idx=0):
+    """(d center [S,3], d radius [S]) cotangents of the shadow curves cast by
+    analytic-sphere BLOCKERS under delta emitters: the sphere's silhouette
+    circle as seen from each emitter, continued onto receivers — the sphere
+    analog of shadow_boundary_vjp's mesh-edge term."""
+    geom = scene.geometry
+    sensor = scene.sensors[sensor_idx]
+    film = scene.film
+    cam_p = sensor.position
+    wh = _film_wh(film)
+
+    from ..core.frame import coordinate_system
+
+    S = geom.n_spheres
+    ct_c = jnp.zeros_like(geom.sph_center)
+    ct_r = jnp.zeros_like(geom.sph_radius)
+    for em_i, em in enumerate(scene.emitters):
+        e_pos = getattr(em, "position", None)
+        if em.is_environment or e_pos is None:
+            continue  # directional/area analogs: covered by the receiver-side
+            # indirect pass; point/spot/projector handled here
+        for s in range(S):
+            c0 = geom.sph_center[s]
+            r0 = geom.sph_radius[s]
+            shp = geom.sph_shape[s]
+
+            rng = RNG(
+                seed ^ jnp.uint32(0x5B5A0200 + 31 * em_i + s),
+                jnp.arange(n_b, dtype=jnp.uint32),
+            )
+            u_phi, _, rng = rng.next_2d()
+            phi = u_phi * (2.0 * np.pi)
+
+            dvec0 = c0 - e_pos
+            L0 = jnp.linalg.norm(dvec0)
+            dh0 = dvec0 / jnp.maximum(L0, 1e-12)
+            e1b, e2b = coordinate_system(dh0[None, :])
+            e1b = jax.lax.stop_gradient(e1b[0])
+            e2b = jax.lax.stop_gradient(e2b[0])
+
+            def x_of(cc, rr, ph):
+                dv = cc - e_pos
+                Ln = jnp.maximum(jnp.linalg.norm(dv), 1e-12)
+                dh = dv / Ln
+                sin2 = jnp.clip((rr / Ln) ** 2, 0.0, 1.0 - 1e-6)
+                rho = rr * jnp.sqrt(1.0 - sin2)
+                base = cc - (rr * rr / Ln) * dh
+                return base[None, :] + rho * (
+                    jnp.cos(ph)[:, None] * e1b[None, :]
+                    + jnp.sin(ph)[:, None] * e2b[None, :]
+                )
+
+            x = x_of(c0, r0, phi)
+            valid = jnp.broadcast_to((L0 > r0 * 1.001) & (shp >= 0), (n_b,))
+
+            # emitter visible from the silhouette point
+            r_xe = jnp.linalg.norm(x - e_pos, axis=-1)
+            d_cont = (x - e_pos) / jnp.maximum(r_xe, 1e-12)[:, None]
+            occ_e = scene.ray_test(
+                Ray(o=x - d_cont * 1e-3, d=-d_cont, maxt=r_xe * (1 - 2e-3)), valid
+            )
+            valid &= ~occ_e
+
+            # receiver: first hit continuing past the silhouette point
+            ray_c = Ray(o=x + d_cont * 1e-3, d=d_cont,
+                        maxt=jnp.full((n_b,), jnp.inf))
+            si_y = scene.ray_intersect(ray_c, valid)
+            valid &= si_y.is_valid & (si_y.prim_index < geom.n_tris)
+            y0 = si_y.p
+
+            d_yc = cam_p - y0
+            r_yc = jnp.linalg.norm(d_yc, axis=-1)
+            d_yc = d_yc / jnp.maximum(r_yc, 1e-12)[:, None]
+            occ_c = scene.ray_test(
+                spawn_ray(y0, si_y.n, d_yc, maxt=r_yc * (1 - 1e-3)), valid
+            )
+            valid &= ~occ_c
+            pi_px, okp = _project_px(sensor, film, y0)
+            valid &= okp
+
+            # attached receiver point through the hit triangle's plane
+            rprim = jnp.clip(si_y.prim_index, 0, geom.n_tris - 1)
+            rface = geom.tri_face[rprim]
+            verts = geom.vertices
+
+            def y_of(cc, rr, ph):
+                xx = x_of(cc, rr, ph)
+                dd = xx - e_pos
+                dd = dd / jnp.maximum(
+                    jnp.linalg.norm(dd, axis=-1, keepdims=True), 1e-12
+                )
+                p0 = verts[rface[:, 0]]
+                p1 = verts[rface[:, 1]]
+                p2 = verts[rface[:, 2]]
+                nr = jnp.cross(p1 - p0, p2 - p0)
+                denom = jnp.sum(dd * nr, axis=-1)
+                denom = jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0)
+                th = jnp.sum((p0 - xx) * nr, axis=-1) / denom
+                return xx + th[:, None] * dd
+
+            tau = jax.jvp(
+                lambda ph: _project_px(sensor, film, y_of(c0, r0, ph))[0],
+                (phi,), (jnp.ones_like(phi),),
+            )[1]
+            tau_n = jnp.linalg.norm(tau, axis=-1)
+            valid &= tau_n > 1e-9
+            n_hat = _perp(tau) / jnp.maximum(tau_n, 1e-12)[:, None]
+
+            # orient toward the shadowed side via probe shadow tests
+            ray_pp = sensor.sample_ray((pi_px + 0.05 * n_hat) / wh,
+                                       jnp.full((n_b, 2), 0.5))
+            ray_pm = sensor.sample_ray((pi_px - 0.05 * n_hat) / wh,
+                                       jnp.full((n_b, 2), 0.5))
+
+            def plane_hit(rr_):
+                denom = jnp.sum(rr_.d * si_y.n, axis=-1)
+                denom = jnp.where(jnp.abs(denom) > 1e-9, denom, 1.0)
+                th = jnp.sum((y0 - rr_.o) * si_y.n, axis=-1) / denom
+                return rr_.o + th[:, None] * rr_.d
+
+            yp = plane_hit(ray_pp)
+            ym = plane_hit(ray_pm)
+
+            def shadowed(pt):
+                dv = e_pos - pt
+                rv = jnp.linalg.norm(dv, axis=-1)
+                dv = dv / jnp.maximum(rv, 1e-12)[:, None]
+                return scene.ray_test(
+                    spawn_ray(pt, si_y.n, dv, maxt=rv * (1 - 1e-3)), valid
+                )
+
+            sh_p = shadowed(yp)
+            sh_m = shadowed(ym)
+            valid &= sh_p != sh_m
+            n_hat = jnp.where(sh_p[:, None], n_hat, -n_hat)
+
+            ds, e_weight = em.sample_direction(
+                y0, jnp.full((n_b, 2), 0.5), geom, None, scene.n_channels, em_i
+            )
+            si_eval = si_y.replace(
+                wi=jnp.stack(
+                    [
+                        jnp.sum(d_yc * si_y.sh_s, axis=-1),
+                        jnp.sum(d_yc * si_y.sh_t, axis=-1),
+                        jnp.sum(d_yc * si_y.sh_n, axis=-1),
+                    ],
+                    axis=-1,
+                )
+            )
+            wo_local = jnp.stack(
+                [
+                    jnp.sum(ds.d * si_y.sh_s, axis=-1),
+                    jnp.sum(ds.d * si_y.sh_t, axis=-1),
+                    jnp.sum(ds.d * si_y.sh_n, axis=-1),
+                ],
+                axis=-1,
+            )
+            f_val, _ = scene.bsdf_eval_pdf(si_eval, wo_local, None, valid)
+            dL = f_val * e_weight
+
+            adj = _gather_adjoint(d_img, pi_px, valid)
+            cval = jnp.sum(adj * dL, axis=-1)
+            k = jnp.where(valid, cval * tau_n * (2.0 * np.pi) / n_b, 0.0)
+
+            def phi_fn(cc, rr):
+                px = _project_px(sensor, film, y_of(cc, rr, phi))[0]
+                return jnp.sum(k * jnp.sum(n_hat * px, axis=-1))
+
+            gc, gr = jax.grad(phi_fn, argnums=(0, 1))(c0, r0)
+            ct_c = ct_c.at[s].add(gc)
+            ct_r = ct_r.at[s].add(gr)
+    return ct_c, ct_r
+
+
 # ---------------------------------------------------------------------------
 # Indirect (receiver-side, depth>=2) boundary term
 # ---------------------------------------------------------------------------
@@ -773,6 +947,12 @@ def _pr_bwd(spp, sensor_idx, sppp, sppi, res, d_img):
         gv = gv + indirect_boundary_vjp(
             scene, d_img, seed, n_pix * sppi, sensor_idx
         )
+        if scene.geometry.n_spheres > 0:
+            sc_s, sr_s = sphere_shadow_boundary_vjp(
+                scene, d_img, seed, n_pix * sppi, sensor_idx
+            )
+            gsc = gsc + sc_s
+            gsr = gsr + sr_s
     vts = ct_scene.geometry.vertices
     if isinstance(vts, jax.Array) and jnp.issubdtype(vts.dtype, jnp.floating):
         gv = gv + vts

@@ -216,15 +216,24 @@ def _render_pass(scene, seed, pass_base, spp_pass, spp_total, sensor_idx):
 
 
 def render(scene, params=None, sensor=0, seed=0, spp=None, spp_per_pass=None,
-           seed_grad=None):
+           seed_grad=None, integrator=None):
     """Render to an image tensor [H, W, C] (reference: mi.render,
     util.py:512-626).  `params` accepts a SceneParameters whose scene is then
     rendered (mirroring the reference's signature).  `seed_grad` seeds the
     differential phase of PRB backward passes; it defaults to a TEA hash of
     `seed` so the primal and gradient estimates are decorrelated (reference:
-    util.py:617-622 — correlated seeds bias nonlinear-loss optimization)."""
+    util.py:617-622 — correlated seeds bias nonlinear-loss optimization).
+    `integrator` overrides the scene's integrator for this render: an
+    integrator instance or a scene-dict spec (reference: the `integrator`
+    argument of mi.render, util.py:518)."""
     if params is not None and hasattr(params, "scene"):
         scene = params.scene
+    if integrator is not None:
+        if isinstance(integrator, dict):
+            from .integrators import make_integrator
+
+            integrator = make_integrator(integrator)
+        scene = scene.replace(integrator=integrator)
     film = scene.film
     spp = spp or scene.spp
     spp_per_pass = min(spp_per_pass or spp, spp)

@@ -220,6 +220,50 @@ def test_sphere_silhouette_gradient():
     assert abs(ad - fd) < 0.12 * abs(fd), (ad, fd)
 
 
+def test_sphere_shadow_boundary_gradient():
+    """Sphere BLOCKER under a point light (sphere_shadow_boundary_vjp):
+    the only image change from growing the out-of-view sphere is its moving
+    shadow on the floor; FD vs projective AD on the radius parameter."""
+    scene = mi.load_dict({
+        "type": "scene",
+        "integrator": {"type": "direct_projective", "sppp": 0, "sppi": 16},
+        "sensor": {
+            "type": "perspective",
+            "fov": 30.0,
+            "to_world": {"type": "look_at", "origin": [0, 0, 5],
+                         "target": [0, 0, 0], "up": [0, 1, 0]},
+            "film": {"type": "hdrfilm", "width": 24, "height": 24,
+                     "rfilter": {"type": "box"}},
+        },
+        "floor": {
+            "type": "rectangle",
+            "to_world": mi.Transform.scale([8, 8, 1]),
+            "bsdf": {"type": "diffuse", "reflectance": {"type": "rgb", "value": [0.7, 0.7, 0.7]}},
+        },
+        "occluder": {
+            "type": "sphere",
+            "center": [2.5, 1.0, 2.0],
+            "radius": 0.7,
+            "bsdf": {"type": "diffuse", "reflectance": {"type": "rgb", "value": [0.2, 0.2, 0.2]}},
+        },
+        "light": {"type": "point", "position": [5.0, 2.0, 4.5], "intensity": 60.0},
+    })
+    path = _path_for(scene, "occluder.radius")
+    base = _tree_get(scene, path)
+
+    def loss(dr, spp):
+        s2 = _tree_set(scene, path, base + dr)
+        return jnp.sum(mi.render(s2, spp=spp, seed=7))
+
+    eps = 1e-2
+    fd = float(
+        (loss(jnp.asarray(eps), 512) - loss(jnp.asarray(-eps), 512)) / (2 * eps)
+    )
+    ad = float(jax.grad(lambda t: loss(t, 64))(jnp.asarray(0.0)))
+    assert abs(fd) > 2.0, fd
+    assert abs(ad - fd) < 0.15 * abs(fd), (ad, fd)
+
+
 def test_area_shadow_boundary_gradient():
     scene = _area_shadow_scene(
         {"type": "direct_projective", "sppp": 0, "sppi": 24}
