@@ -536,9 +536,11 @@ def sphere_shadow_boundary_vjp(scene, d_img, seed, n_b, sensor_idx=0):
     ct_r = jnp.zeros_like(geom.sph_radius)
     for em_i, em in enumerate(scene.emitters):
         e_pos = getattr(em, "position", None)
-        if em.is_environment or e_pos is None:
-            continue  # directional/area analogs: covered by the receiver-side
-            # indirect pass; point/spot/projector handled here
+        e_dir = getattr(em, "direction", None)
+        if em.is_environment or (e_pos is None and e_dir is None):
+            continue  # area-emitter analogs: covered by the receiver-side
+            # indirect pass (mesh blockers); point/spot/projector/directional
+            # handled here
         for s in range(S):
             c0 = geom.sph_center[s]
             r0 = geom.sph_radius[s]
@@ -551,34 +553,53 @@ def sphere_shadow_boundary_vjp(scene, d_img, seed, n_b, sensor_idx=0):
             u_phi, _, rng = rng.next_2d()
             phi = u_phi * (2.0 * np.pi)
 
-            dvec0 = c0 - e_pos
-            L0 = jnp.linalg.norm(dvec0)
-            dh0 = dvec0 / jnp.maximum(L0, 1e-12)
+            if e_pos is not None:
+                dvec0 = c0 - e_pos
+                L0 = jnp.linalg.norm(dvec0)
+                dh0 = dvec0 / jnp.maximum(L0, 1e-12)
+                sil_ok = L0 > r0 * 1.001
+            else:
+                dh0 = jnp.asarray(e_dir, jnp.float32)
+                sil_ok = jnp.asarray(True)
             e1b, e2b = coordinate_system(dh0[None, :])
             e1b = jax.lax.stop_gradient(e1b[0])
             e2b = jax.lax.stop_gradient(e2b[0])
 
             def x_of(cc, rr, ph):
-                dv = cc - e_pos
-                Ln = jnp.maximum(jnp.linalg.norm(dv), 1e-12)
-                dh = dv / Ln
-                sin2 = jnp.clip((rr / Ln) ** 2, 0.0, 1.0 - 1e-6)
-                rho = rr * jnp.sqrt(1.0 - sin2)
-                base = cc - (rr * rr / Ln) * dh
+                if e_pos is not None:
+                    dv = cc - e_pos
+                    Ln = jnp.maximum(jnp.linalg.norm(dv), 1e-12)
+                    dh = dv / Ln
+                    sin2 = jnp.clip((rr / Ln) ** 2, 0.0, 1.0 - 1e-6)
+                    rho = rr * jnp.sqrt(1.0 - sin2)
+                    base = cc - (rr * rr / Ln) * dh
+                else:
+                    # parallel rays: the silhouette is the great circle in
+                    # the plane through c perpendicular to the light
+                    rho = rr
+                    base = cc
                 return base[None, :] + rho * (
                     jnp.cos(ph)[:, None] * e1b[None, :]
                     + jnp.sin(ph)[:, None] * e2b[None, :]
                 )
 
             x = x_of(c0, r0, phi)
-            valid = jnp.broadcast_to((L0 > r0 * 1.001) & (shp >= 0), (n_b,))
+            valid = jnp.broadcast_to(sil_ok & (shp >= 0), (n_b,))
 
             # emitter visible from the silhouette point
-            r_xe = jnp.linalg.norm(x - e_pos, axis=-1)
-            d_cont = (x - e_pos) / jnp.maximum(r_xe, 1e-12)[:, None]
-            occ_e = scene.ray_test(
-                Ray(o=x - d_cont * 1e-3, d=-d_cont, maxt=r_xe * (1 - 2e-3)), valid
-            )
+            if e_pos is not None:
+                r_xe = jnp.linalg.norm(x - e_pos, axis=-1)
+                d_cont = (x - e_pos) / jnp.maximum(r_xe, 1e-12)[:, None]
+                occ_e = scene.ray_test(
+                    Ray(o=x - d_cont * 1e-3, d=-d_cont,
+                        maxt=r_xe * (1 - 2e-3)), valid
+                )
+            else:
+                d_cont = jnp.broadcast_to(dh0, x.shape)
+                occ_e = scene.ray_test(
+                    Ray(o=x - d_cont * 1e-3, d=-d_cont,
+                        maxt=jnp.full((n_b,), 1e6)), valid
+                )
             valid &= ~occ_e
 
             # receiver: first hit continuing past the silhouette point
@@ -605,10 +626,13 @@ def sphere_shadow_boundary_vjp(scene, d_img, seed, n_b, sensor_idx=0):
 
             def y_of(cc, rr, ph):
                 xx = x_of(cc, rr, ph)
-                dd = xx - e_pos
-                dd = dd / jnp.maximum(
-                    jnp.linalg.norm(dd, axis=-1, keepdims=True), 1e-12
-                )
+                if e_pos is not None:
+                    dd = xx - e_pos
+                    dd = dd / jnp.maximum(
+                        jnp.linalg.norm(dd, axis=-1, keepdims=True), 1e-12
+                    )
+                else:
+                    dd = jnp.broadcast_to(dh0, xx.shape)
                 p0 = verts[rface[:, 0]]
                 p1 = verts[rface[:, 1]]
                 p2 = verts[rface[:, 2]]
@@ -642,11 +666,17 @@ def sphere_shadow_boundary_vjp(scene, d_img, seed, n_b, sensor_idx=0):
             ym = plane_hit(ray_pm)
 
             def shadowed(pt):
-                dv = e_pos - pt
-                rv = jnp.linalg.norm(dv, axis=-1)
-                dv = dv / jnp.maximum(rv, 1e-12)[:, None]
+                if e_pos is not None:
+                    dv = e_pos - pt
+                    rv = jnp.linalg.norm(dv, axis=-1)
+                    dv = dv / jnp.maximum(rv, 1e-12)[:, None]
+                    return scene.ray_test(
+                        spawn_ray(pt, si_y.n, dv, maxt=rv * (1 - 1e-3)), valid
+                    )
+                dv = jnp.broadcast_to(-dh0, pt.shape)
                 return scene.ray_test(
-                    spawn_ray(pt, si_y.n, dv, maxt=rv * (1 - 1e-3)), valid
+                    spawn_ray(pt, si_y.n, dv, maxt=jnp.full((n_b,), 1e6)),
+                    valid,
                 )
 
             sh_p = shadowed(yp)
@@ -808,8 +838,23 @@ def indirect_boundary_vjp(scene, d_img, seed, n_b, sensor_idx=0):
     valid &= fg_plus | fg_minus
     n_hat = jnp.where(fg_plus[:, None], -n_hat, n_hat)  # toward background
 
-    L_p = _radiance(scene, ray_p, seed, 0x17D10003, valid)
-    L_m = _radiance(scene, ray_m, seed, 0x17D20004, valid)
+    # probe radiance must carry the PRIMAL's remaining depth from y — one
+    # camera segment is already consumed, so a full-depth probe would count
+    # paths the primal image never accumulates and bias dL vs FD (the
+    # reference's sample_radiance_difference continues with depth-1)
+    from ..integrators.path import PathIntegrator
+
+    base = getattr(scene.integrator, "base", scene.integrator)
+    if hasattr(base, "max_depth"):
+        probe_integ = base.replace(max_depth=max(base.max_depth - 1, 1))
+    else:
+        # direct-illumination primal: the only radiance its BSDF branch sees
+        # behind an edge is emission -> depth-1 probe
+        probe_integ = PathIntegrator(max_depth=1, rr_depth=64,
+                                     hide_emitters=False)
+    s_probe = scene.replace(integrator=probe_integ)
+    L_p = _radiance(s_probe, ray_p, seed, 0x17D10003, valid)
+    L_m = _radiance(s_probe, ray_m, seed, 0x17D20004, valid)
     dL = jnp.where(fg_plus[:, None], L_p - L_m, L_m - L_p)  # [N, C]
 
     # -- BSDF weight at y (f * cos, smooth lobes only) ----------------------

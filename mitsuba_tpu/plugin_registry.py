@@ -45,6 +45,20 @@ OBJECT_CATEGORIES = frozenset(
 
 _REGISTRY: dict[str, dict] = {c: {} for c in CATEGORIES}
 
+# builtin names of categories whose loader dispatch has no mutable type set
+# (guards the no-shadowing contract for them too; the loader's *_TYPES sets
+# cover the rest)
+_STATIC_BUILTINS = {
+    "sampler": {"independent", "stratified", "multijitter", "orthogonal",
+                "ldsampler", "sobol"},
+    "film": {"hdrfilm", "specfilm"},
+    "rfilter": {"box", "tent", "gaussian", "mitchell", "catmullrom", "lanczos"},
+    "volume": {"constvolume", "gridvolume", "rgb", "uniform"},
+    "texture": {"bitmap", "checkerboard", "constant", "mesh_attribute",
+                "volume", "uniform", "regular", "irregular", "srgb", "rgb",
+                "d65", "blackbody", "singleton"},
+}
+
 # maximum nested expansions while resolving one spec (cycle guard)
 _MAX_EXPANSION_DEPTH = 8
 
@@ -79,7 +93,11 @@ def register_plugin(category, name, constructor):
     if not callable(constructor):
         raise TypeError(f"constructor for {category}:{name} must be callable")
     sets = _loader_type_sets()
-    if category in sets and name in sets[category] and name not in _REGISTRY[category]:
+    is_builtin = (
+        category in sets and name in sets[category]
+        and name not in _REGISTRY[category]
+    ) or name in _STATIC_BUILTINS.get(category, ())
+    if is_builtin:
         raise ValueError(
             f"cannot shadow builtin {category} plugin {name!r}"
         )

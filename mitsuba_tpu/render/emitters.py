@@ -126,34 +126,42 @@ class SphereAreaEmitter:
     area sampling for small/far spheres."""
 
     radiance: object            # texture
-    center: jnp.ndarray         # [3]
-    radius: jnp.ndarray         # []
+    # sphere read from Geometry at use so params.update() edits and the
+    # projective interior vjp (which replace geometry.sph_*) stay live —
+    # a load-time copy went stale (advisor finding, round 4)
+    sphere_index: int = struct.field(pytree_node=False)
     shape_index: int = struct.field(pytree_node=False)
 
     is_environment = False
     is_delta = False
+
+    # scene.pdf_emitter_direction_* passes geometry to this emitter
+    needs_geometry = True
 
     def eval(self, si, wavelengths, n_channels):
         front = si.wi[..., 2] > 0
         val = self.radiance.eval(si.uv, wavelengths, n_channels)
         return jnp.where(front[..., None], val, 0.0)
 
-    def _cone(self, ref_p):
-        dc = self.center - ref_p
+    def _cone(self, ref_p, geom):
+        center = geom.sph_center[self.sphere_index]
+        radius = geom.sph_radius[self.sphere_index]
+        dc = center - ref_p
         L2 = jnp.sum(dc * dc, axis=-1)
         L = safe_sqrt(jnp.maximum(L2, 1e-20))
         dh = dc / L[..., None]
-        r = self.radius
-        outside = L > r * 1.0001
-        sin2_max = jnp.clip((r / jnp.maximum(L, 1e-12)) ** 2, 0.0, 1.0 - 1e-7)
+        outside = L > radius * 1.0001
+        sin2_max = jnp.clip(
+            (radius / jnp.maximum(L, 1e-12)) ** 2, 0.0, 1.0 - 1e-7
+        )
         cos_max = safe_sqrt(1.0 - sin2_max)
-        return dc, L2, L, dh, outside, cos_max
+        return center, radius, dc, L2, L, dh, outside, cos_max
 
     def sample_direction(self, ref_p, u2, geom, wavelengths, n_channels, emitter_index):
         from ..core.frame import coordinate_system
 
         n_lanes = ref_p.shape[0]
-        dc, L2, L, dh, outside, cos_max = self._cone(ref_p)
+        center, radius, dc, L2, L, dh, outside, cos_max = self._cone(ref_p, geom)
         cos_t = 1.0 - u2[..., 0] * (1.0 - cos_max)
         sin_t = safe_sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
         phi = (2.0 * jnp.pi) * u2[..., 1]
@@ -166,10 +174,10 @@ class SphereAreaEmitter:
         # near intersection distance along d (guaranteed >= 0 inside the cone
         # up to round-off; clamp the discriminant)
         b = jnp.sum(d * dc, axis=-1)
-        disc = b * b - (L2 - self.radius ** 2)
+        disc = b * b - (L2 - radius ** 2)
         dist = b - safe_sqrt(jnp.maximum(disc, 0.0))
         p = ref_p + dist[..., None] * d
-        n = normalize(p - self.center)
+        n = normalize(p - center)
         solid = (2.0 * jnp.pi) * jnp.maximum(1.0 - cos_max, 1e-12)
         pdf = jnp.where(outside, 1.0 / solid, 0.0)
         uv = _sphere_uv(n)
@@ -180,10 +188,10 @@ class SphereAreaEmitter:
         ds = _ds(p, n, d, dist, pdf, False, emitter_index, n_lanes, uv=uv)
         return ds, weight
 
-    def pdf_direction(self, ref_p, si):
+    def pdf_direction(self, ref_p, si, geom):
         """Cone pdf for a direction from ref_p known to hit this sphere
         (si.p on the surface is inside the subtended cone by construction)."""
-        _, _, _, _, outside, cos_max = self._cone(ref_p)
+        _, _, _, _, _, _, outside, cos_max = self._cone(ref_p, geom)
         solid = (2.0 * jnp.pi) * jnp.maximum(1.0 - cos_max, 1e-12)
         return jnp.where(outside, 1.0 / solid, 0.0)
 

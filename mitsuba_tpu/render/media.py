@@ -270,6 +270,7 @@ def parse_medium(spec, name, phase_list, param_paths, medium_index):
                 phase_spec = v
                 break
     phase_index = len(phase_list)
+    pp_mark = len(param_paths)   # rollback point if a user medium expands
     phase = parse_phase(
         phase_spec, param_paths, f"{name}.phase_function",
         ("phases", phase_index),
@@ -314,8 +315,11 @@ def parse_medium(spec, name, phase_list, param_paths, medium_index):
         spec["_phase_index"] = phase_index
         out, _ = PR.construct("medium", t, spec)
         if isinstance(out, dict):
-            # expansion re-parses; drop the speculative phase slot we took
+            # expansion re-parses; drop the speculative phase slot AND the
+            # param paths the speculative parse_phase registered (they may
+            # reference fields the expanded medium's phase doesn't have)
             del phase_list[phase_index]
+            del param_paths[pp_mark:]
             return parse_medium(out, name, phase_list, param_paths, medium_index)
         tp = getattr(out, "traverse_paths", None)
         if tp is not None:

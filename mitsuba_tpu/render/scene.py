@@ -181,7 +181,11 @@ class Scene:
             if em.is_delta or em.is_environment:
                 continue
             m = em_idx == i
-            pdf = jnp.where(m, em.pdf_direction(ref_p, si) * pmf[i], pdf)
+            if getattr(em, "needs_geometry", False):
+                p_i = em.pdf_direction(ref_p, si, self.geometry)
+            else:
+                p_i = em.pdf_direction(ref_p, si)
+            pdf = jnp.where(m, p_i * pmf[i], pdf)
         return pdf
 
     def _emitter_sel_pmf(self):

@@ -726,24 +726,24 @@ def load_dict(d):
         elif t in SENSOR_TYPES:
             sensor, film, spp, sampler_type = parse_sensor(spec)
         elif t in EMITTER_TYPES:
-            if PR.lookup("emitter", t) is not None:
-                spec = _expand_registered("emitter", spec)
-                t = spec["type"]
-                if t not in EMITTER_TYPES or PR.lookup("emitter", t) is not None:
-                    raise ValueError(
-                        f"registered emitter plugin expanded to "
-                        f"non-builtin type {t!r}"
-                    )
+            # PR.construct follows nested registrations, so the expanded
+            # type is never itself registered — builtin membership suffices
+            spec = _expand_registered("emitter", spec)
+            t = spec["type"]
+            if t not in EMITTER_TYPES:
+                raise ValueError(
+                    f"registered emitter plugin expanded to "
+                    f"non-builtin type {t!r}"
+                )
             emitter_list.append(("env" if t in ("constant", "envmap") else "delta", name, spec))
         elif t in SHAPE_TYPES:
-            if PR.lookup("shape", t) is not None:
-                spec = _expand_registered("shape", spec)
-                t = spec["type"]
-                if t not in SHAPE_TYPES or PR.lookup("shape", t) is not None:
-                    raise ValueError(
-                        f"registered shape plugin expanded to "
-                        f"non-builtin type {t!r}"
-                    )
+            spec = _expand_registered("shape", spec)
+            t = spec["type"]
+            if t not in SHAPE_TYPES:
+                raise ValueError(
+                    f"registered shape plugin expanded to "
+                    f"non-builtin type {t!r}"
+                )
             shape_index = len(shape_records)
             to_world = build_transform(spec.get("to_world", Transform.identity()))
             if t == "rectangle":
@@ -988,8 +988,7 @@ def load_dict(d):
             emitters.append(
                 E.SphereAreaEmitter(
                     radiance=tex,
-                    center=geometry.sph_center[s_i],
-                    radius=geometry.sph_radius[s_i],
+                    sphere_index=s_i,
                     shape_index=shape_index,
                 )
             )
@@ -1167,7 +1166,7 @@ def load_dict(d):
     emitter_pmf = None
     if emitter_sampler == "power" and len(emitters) > 1:
         emitter_pmf = jnp.asarray(
-            [_emitter_power(em, radius) for em in emitters], jnp.float32
+            [_emitter_power(em, radius, geometry) for em in emitters], jnp.float32
         )
 
     scene = Scene(
@@ -1247,7 +1246,7 @@ def _patch_mesh_attributes(bsdf_list, shape_records, tri_meshes):
     return out
 
 
-def _emitter_power(em, scene_radius):
+def _emitter_power(em, scene_radius, geometry=None):
     """Relative power heuristic for emitter selection weights (reference:
     scene.cpp:238-250 builds its DiscreteDistribution from sampling weights).
     Absolute scale is irrelevant — only ratios matter."""
@@ -1265,7 +1264,8 @@ def _emitter_power(em, scene_radius):
     if isinstance(em, (E.AreaEmitter, E.DirectionalAreaEmitter)):
         return float(np.pi * float(em.total_area) * tex_mean(em.radiance))
     if isinstance(em, E.SphereAreaEmitter):
-        area = 4.0 * np.pi * float(em.radius) ** 2
+        r_s = float(np.asarray(geometry.sph_radius)[em.sphere_index]) if geometry is not None else 1.0
+        area = 4.0 * np.pi * r_s ** 2
         return float(np.pi * area * tex_mean(em.radiance))
     if isinstance(em, E.PointEmitter):
         return 4.0 * np.pi * tex_mean(em.intensity)

@@ -98,6 +98,19 @@ def test_sphere_emitter_pdf_consistency():
     assert rel.max() < 1e-4, rel.max()
 
 
+def test_sphere_emitter_params_update_live():
+    """params.update() on an emissive sphere's radius must be seen by the
+    emitter's cone sampling (regression: the emitter held a stale load-time
+    copy of center/radius)."""
+    scene = _scene(radius=0.3)
+    p = mi.traverse(scene)
+    p["lamp.radius"] = jnp.asarray([0.6])
+    s2 = p.update()
+    img_updated = np.asarray(mi.render(s2, spp=128, seed=0))
+    img_fresh = np.asarray(mi.render(_scene(radius=0.6), spp=128, seed=0))
+    np.testing.assert_allclose(img_updated, img_fresh, atol=1e-5)
+
+
 def test_sphere_emitter_mis_agreement():
     """Path-with-NEE and BSDF-sampling-only (hide NEE via mis: compare to a
     high-spp self reference) agree on the rendered mean — the estimator pair
