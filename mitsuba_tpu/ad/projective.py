@@ -29,10 +29,14 @@ blocker edges projected from the emitter onto receivers), and (3) the
 receiver-side indirect term (`indirect_boundary_vjp`): jumps of the incident
 radiance field across silhouette edges as seen from the first path vertex —
 reflected silhouettes of moving geometry and AREA-emitter soft-shadow
-boundaries.  Scope notes vs the reference: silhouettes of triangle meshes
-(analytic sphere silhouettes not yet sampled); boundary segments deeper than
-the first reflection (camera->y1->y2->edge) are not sampled, matching the
-dominant terms of prb_projective.
+boundaries.  Analytic spheres participate through their silhouette CIRCLES
+(`sphere_boundary_vjp` camera-side, `sphere_shadow_boundary_vjp` under
+delta/directional emitters), with cotangents to the differentiable
+center/radius parameters.  Scope notes vs the reference: boundary segments
+deeper than the first reflection (camera->y1->y2->edge) are not sampled,
+matching the dominant terms of prb_projective; sphere blockers under AREA
+emitters rely on the mesh-edge-guided indirect pass and are not
+circle-sampled.
 """
 from __future__ import annotations
 
@@ -119,6 +123,117 @@ def _gather_adjoint(d_img, pi_px, valid):
     py = jnp.clip(jnp.floor(pi_px[:, 1]).astype(jnp.int32), 0, H - 1)
     g = d_img[py, px]
     return jnp.where(valid[:, None], g, 0.0)
+
+
+def _frozen_basis(dh0):
+    """Detached orthonormal basis around dh0 (the basis rotation is a curve
+    reparameterization — its motion is tangential and contracts to zero
+    against the curve normal)."""
+    from ..core.frame import coordinate_system
+
+    e1b, e2b = coordinate_system(dh0[None, :])
+    return jax.lax.stop_gradient(e1b[0]), jax.lax.stop_gradient(e2b[0])
+
+
+def _sphere_circle_map(e_pos, e_dir, e1b, e2b):
+    """Attached silhouette-circle map of a sphere: x_of(cc, rr, ph) for
+    viewpoint e_pos (cone silhouette: radius rho = rr*sqrt(1-(rr/L)^2) at
+    offset rr^2/L toward the viewpoint) or direction e_dir (parallel rays:
+    the great circle through cc perpendicular to the light)."""
+    def x_of(cc, rr, ph):
+        if e_pos is not None:
+            dv = cc - e_pos
+            Ln = jnp.maximum(jnp.linalg.norm(dv), 1e-12)
+            dh = dv / Ln
+            sin2 = jnp.clip((rr / Ln) ** 2, 0.0, 1.0 - 1e-6)
+            rho = rr * jnp.sqrt(1.0 - sin2)
+            base = cc - (rr * rr / Ln) * dh
+        else:
+            rho = rr
+            base = cc
+        return base[None, :] + rho * (
+            jnp.cos(ph)[:, None] * e1b[None, :]
+            + jnp.sin(ph)[:, None] * e2b[None, :]
+        )
+
+    return x_of
+
+
+def _shadow_contract(scene, sensor_idx, d_img, si_y, y0, pi_px, tau,
+                     em, em_i, e_pos, e_dir, valid, n_b, weight_scale):
+    """Shared tail of the shadow-curve estimators (mesh edges and sphere
+    circles): orient the image normal toward the shadowed side with probe
+    occlusion tests on the attached receiver plane, form the jump magnitude
+    ΔL = f_r * E, contract with the image adjoint.
+
+    Returns (valid, n_hat, k) with k the per-sample scalar so the caller's
+    phi(theta) = sum k * (n_hat . pi_px(y(theta))) supplies the velocity."""
+    geom = scene.geometry
+    sensor = scene.sensors[sensor_idx]
+    film = scene.film
+    wh = _film_wh(film)
+    cam_p = sensor.position
+
+    tau_n = jnp.linalg.norm(tau, axis=-1)
+    valid = valid & (tau_n > 1e-9)
+    n_hat = _perp(tau) / jnp.maximum(tau_n, 1e-12)[:, None]
+
+    d_yc = cam_p - y0
+    r_yc = jnp.linalg.norm(d_yc, axis=-1)
+    d_yc = d_yc / jnp.maximum(r_yc, 1e-12)[:, None]
+
+    ray_pp = sensor.sample_ray((pi_px + 0.05 * n_hat) / wh,
+                               jnp.full((n_b, 2), 0.5))
+    ray_pm = sensor.sample_ray((pi_px - 0.05 * n_hat) / wh,
+                               jnp.full((n_b, 2), 0.5))
+
+    def plane_hit(rr_):
+        denom = jnp.sum(rr_.d * si_y.n, axis=-1)
+        denom = jnp.where(jnp.abs(denom) > 1e-9, denom, 1.0)
+        th = jnp.sum((y0 - rr_.o) * si_y.n, axis=-1) / denom
+        return rr_.o + th[:, None] * rr_.d
+
+    def shadowed(pt):
+        if e_pos is not None:
+            dv = e_pos - pt
+            rv = jnp.linalg.norm(dv, axis=-1)
+            dv = dv / jnp.maximum(rv, 1e-12)[:, None]
+            return scene.ray_test(
+                spawn_ray(pt, si_y.n, dv, maxt=rv * (1 - 1e-3)), valid
+            )
+        dv = jnp.broadcast_to(-e_dir, pt.shape)
+        return scene.ray_test(
+            spawn_ray(pt, si_y.n, dv, maxt=jnp.full((n_b,), 1e6)), valid
+        )
+
+    sh_p = shadowed(plane_hit(ray_pp))
+    sh_m = shadowed(plane_hit(ray_pm))
+    valid &= sh_p != sh_m
+    n_hat = jnp.where(sh_p[:, None], n_hat, -n_hat)  # toward shadow
+
+    ds, e_weight = em.sample_direction(
+        y0, jnp.full((n_b, 2), 0.5), geom, None, scene.n_channels, em_i
+    )
+
+    def to_local(v):
+        return jnp.stack(
+            [
+                jnp.sum(v * si_y.sh_s, axis=-1),
+                jnp.sum(v * si_y.sh_t, axis=-1),
+                jnp.sum(v * si_y.sh_n, axis=-1),
+            ],
+            axis=-1,
+        )
+
+    f_val, _ = scene.bsdf_eval_pdf(
+        si_y.replace(wi=to_local(d_yc)), to_local(ds.d), None, valid
+    )
+    dL = f_val * e_weight                                     # lit - shadowed
+
+    adj = _gather_adjoint(d_img, pi_px, valid)
+    c = jnp.sum(adj * dL, axis=-1)
+    k = jnp.where(valid, c * tau_n * weight_scale, 0.0)
+    return valid, n_hat, k
 
 
 def _radiance(scene, ray, seed, salt, active):
@@ -331,75 +446,10 @@ def shadow_boundary_vjp(scene, d_img, seed, n_b, sensor_idx=0):
             return _project_px(sensor, film, y_of(verts, tt))[0]
 
         tau = jax.jvp(pi_of_t, (t,), (jnp.ones_like(t),))[1]
-        tau_n = jnp.linalg.norm(tau, axis=-1)
-        valid &= tau_n > 1e-9
-        n_hat = _perp(tau) / jnp.maximum(tau_n, 1e-12)[:, None]
-
-        # orient n_hat toward the shadowed side: probe receiver points a bit
-        # to each side along the attached plane and shadow-test the emitter
-        eps_y = 2e-3 * jnp.maximum(r_yc, 1.0)
-        # in-plane image offset -> world offset via the camera ray/plane
-        ray_pp = sensor.sample_ray((pi_px + 0.05 * n_hat) / wh, jnp.full((n_b, 2), 0.5))
-        ray_pm = sensor.sample_ray((pi_px - 0.05 * n_hat) / wh, jnp.full((n_b, 2), 0.5))
-
-        def plane_hit(rr):
-            denom = jnp.sum(rr.d * si_y.n, axis=-1)
-            denom = jnp.where(jnp.abs(denom) > 1e-9, denom, 1.0)
-            th = jnp.sum((y0 - rr.o) * si_y.n, axis=-1) / denom
-            return rr.o + th[:, None] * rr.d
-
-        yp = plane_hit(ray_pp)
-        ym = plane_hit(ray_pm)
-
-        def shadowed(pt):
-            if e_pos is not None:
-                dv = e_pos - pt
-                rv = jnp.linalg.norm(dv, axis=-1)
-                dv = dv / jnp.maximum(rv, 1e-12)[:, None]
-                return scene.ray_test(
-                    spawn_ray(pt, si_y.n, dv, maxt=rv * (1 - 1e-3)), valid
-                )
-            dv = jnp.broadcast_to(-e_dir, pt.shape)
-            return scene.ray_test(
-                spawn_ray(pt, si_y.n, dv, maxt=jnp.full(pt.shape[:1], 1e6)), valid
-            )
-
-        sh_p = shadowed(yp)
-        sh_m = shadowed(ym)
-        valid &= sh_p != sh_m
-        n_hat = jnp.where(sh_p[:, None], n_hat, -n_hat)  # toward shadow
-
-        # jump magnitude: ΔL = f_r(y; wi=to-camera, wo=to-emitter) * E
-        ds, e_weight = em.sample_direction(
-            y0, jnp.full((n_b, 2), 0.5), geom, None, scene.n_channels, em_i
-        )
-        si_eval = si_y.replace(
-            wi=jnp.stack(
-                [
-                    jnp.sum(d_yc * si_y.sh_s, axis=-1),
-                    jnp.sum(d_yc * si_y.sh_t, axis=-1),
-                    jnp.sum(d_yc * si_y.sh_n, axis=-1),
-                ],
-                axis=-1,
-            )
-        )
-        wo_local = jnp.stack(
-            [
-                jnp.sum(ds.d * si_y.sh_s, axis=-1),
-                jnp.sum(ds.d * si_y.sh_t, axis=-1),
-                jnp.sum(ds.d * si_y.sh_n, axis=-1),
-            ],
-            axis=-1,
-        )
-        f_val, _ = scene.bsdf_eval_pdf(si_eval, wo_local, None, valid)
-        dL = f_val * e_weight                                     # lit - shadowed
-
-        adj = _gather_adjoint(d_img, pi_px, valid)
-        c = jnp.sum(adj * dL, axis=-1)
-        k = jnp.where(
-            valid,
-            c * tau_n * W_total / (jnp.maximum(len_e, 1e-12) * n_b),
-            0.0,
+        valid, n_hat, k = _shadow_contract(
+            scene, sensor_idx, d_img, si_y, y0, pi_px, tau,
+            em, em_i, e_pos, e_dir, valid, n_b,
+            W_total / (jnp.maximum(len_e, 1e-12) * n_b),
         )
 
         def phi(vts):
@@ -430,8 +480,6 @@ def sphere_boundary_vjp(scene, d_img, seed, n_b, sensor_idx=0):
     vp = sensor.position
     wh = _film_wh(film)
 
-    from ..core.frame import coordinate_system
-
     S = geom.n_spheres
     ct_c = jnp.zeros_like(geom.sph_center)
     ct_r = jnp.zeros_like(geom.sph_radius)
@@ -447,22 +495,8 @@ def sphere_boundary_vjp(scene, d_img, seed, n_b, sensor_idx=0):
         dvec0 = c0 - vp
         L0 = jnp.linalg.norm(dvec0)
         dh0 = dvec0 / jnp.maximum(L0, 1e-12)
-        e1b, e2b = coordinate_system(dh0[None, :])
-        e1b = jax.lax.stop_gradient(e1b[0])
-        e2b = jax.lax.stop_gradient(e2b[0])
-
-        def x_of(cc, rr, ph):
-            dv = cc - vp
-            Ln = jnp.maximum(jnp.linalg.norm(dv), 1e-12)
-            dh = dv / Ln
-            sin2 = jnp.clip((rr / Ln) ** 2, 0.0, 1.0 - 1e-6)
-            rho = rr * jnp.sqrt(1.0 - sin2)
-            base = cc - (rr * rr / Ln) * dh
-            return base[None, :] + rho * (
-                jnp.cos(ph)[:, None] * e1b[None, :]
-                + jnp.sin(ph)[:, None] * e2b[None, :]
-            )
-
+        e1b, e2b = _frozen_basis(dh0)
+        x_of = _sphere_circle_map(vp, None, e1b, e2b)
         x = x_of(c0, r0, phi)
         valid = jnp.broadcast_to(L0 > r0 * 1.001, (n_b,)) & (shp >= 0)
 
@@ -529,8 +563,6 @@ def sphere_shadow_boundary_vjp(scene, d_img, seed, n_b, sensor_idx=0):
     cam_p = sensor.position
     wh = _film_wh(film)
 
-    from ..core.frame import coordinate_system
-
     S = geom.n_spheres
     ct_c = jnp.zeros_like(geom.sph_center)
     ct_r = jnp.zeros_like(geom.sph_radius)
@@ -561,28 +593,8 @@ def sphere_shadow_boundary_vjp(scene, d_img, seed, n_b, sensor_idx=0):
             else:
                 dh0 = jnp.asarray(e_dir, jnp.float32)
                 sil_ok = jnp.asarray(True)
-            e1b, e2b = coordinate_system(dh0[None, :])
-            e1b = jax.lax.stop_gradient(e1b[0])
-            e2b = jax.lax.stop_gradient(e2b[0])
-
-            def x_of(cc, rr, ph):
-                if e_pos is not None:
-                    dv = cc - e_pos
-                    Ln = jnp.maximum(jnp.linalg.norm(dv), 1e-12)
-                    dh = dv / Ln
-                    sin2 = jnp.clip((rr / Ln) ** 2, 0.0, 1.0 - 1e-6)
-                    rho = rr * jnp.sqrt(1.0 - sin2)
-                    base = cc - (rr * rr / Ln) * dh
-                else:
-                    # parallel rays: the silhouette is the great circle in
-                    # the plane through c perpendicular to the light
-                    rho = rr
-                    base = cc
-                return base[None, :] + rho * (
-                    jnp.cos(ph)[:, None] * e1b[None, :]
-                    + jnp.sin(ph)[:, None] * e2b[None, :]
-                )
-
+            e1b, e2b = _frozen_basis(dh0)
+            x_of = _sphere_circle_map(e_pos, e_dir, e1b, e2b)
             x = x_of(c0, r0, phi)
             valid = jnp.broadcast_to(sil_ok & (shp >= 0), (n_b,))
 
@@ -646,71 +658,11 @@ def sphere_shadow_boundary_vjp(scene, d_img, seed, n_b, sensor_idx=0):
                 lambda ph: _project_px(sensor, film, y_of(c0, r0, ph))[0],
                 (phi,), (jnp.ones_like(phi),),
             )[1]
-            tau_n = jnp.linalg.norm(tau, axis=-1)
-            valid &= tau_n > 1e-9
-            n_hat = _perp(tau) / jnp.maximum(tau_n, 1e-12)[:, None]
-
-            # orient toward the shadowed side via probe shadow tests
-            ray_pp = sensor.sample_ray((pi_px + 0.05 * n_hat) / wh,
-                                       jnp.full((n_b, 2), 0.5))
-            ray_pm = sensor.sample_ray((pi_px - 0.05 * n_hat) / wh,
-                                       jnp.full((n_b, 2), 0.5))
-
-            def plane_hit(rr_):
-                denom = jnp.sum(rr_.d * si_y.n, axis=-1)
-                denom = jnp.where(jnp.abs(denom) > 1e-9, denom, 1.0)
-                th = jnp.sum((y0 - rr_.o) * si_y.n, axis=-1) / denom
-                return rr_.o + th[:, None] * rr_.d
-
-            yp = plane_hit(ray_pp)
-            ym = plane_hit(ray_pm)
-
-            def shadowed(pt):
-                if e_pos is not None:
-                    dv = e_pos - pt
-                    rv = jnp.linalg.norm(dv, axis=-1)
-                    dv = dv / jnp.maximum(rv, 1e-12)[:, None]
-                    return scene.ray_test(
-                        spawn_ray(pt, si_y.n, dv, maxt=rv * (1 - 1e-3)), valid
-                    )
-                dv = jnp.broadcast_to(-dh0, pt.shape)
-                return scene.ray_test(
-                    spawn_ray(pt, si_y.n, dv, maxt=jnp.full((n_b,), 1e6)),
-                    valid,
-                )
-
-            sh_p = shadowed(yp)
-            sh_m = shadowed(ym)
-            valid &= sh_p != sh_m
-            n_hat = jnp.where(sh_p[:, None], n_hat, -n_hat)
-
-            ds, e_weight = em.sample_direction(
-                y0, jnp.full((n_b, 2), 0.5), geom, None, scene.n_channels, em_i
+            valid, n_hat, k = _shadow_contract(
+                scene, sensor_idx, d_img, si_y, y0, pi_px, tau,
+                em, em_i, e_pos, dh0 if e_pos is None else None,
+                valid, n_b, (2.0 * np.pi) / n_b,
             )
-            si_eval = si_y.replace(
-                wi=jnp.stack(
-                    [
-                        jnp.sum(d_yc * si_y.sh_s, axis=-1),
-                        jnp.sum(d_yc * si_y.sh_t, axis=-1),
-                        jnp.sum(d_yc * si_y.sh_n, axis=-1),
-                    ],
-                    axis=-1,
-                )
-            )
-            wo_local = jnp.stack(
-                [
-                    jnp.sum(ds.d * si_y.sh_s, axis=-1),
-                    jnp.sum(ds.d * si_y.sh_t, axis=-1),
-                    jnp.sum(ds.d * si_y.sh_n, axis=-1),
-                ],
-                axis=-1,
-            )
-            f_val, _ = scene.bsdf_eval_pdf(si_eval, wo_local, None, valid)
-            dL = f_val * e_weight
-
-            adj = _gather_adjoint(d_img, pi_px, valid)
-            cval = jnp.sum(adj * dL, axis=-1)
-            k = jnp.where(valid, cval * tau_n * (2.0 * np.pi) / n_b, 0.0)
 
             def phi_fn(cc, rr):
                 px = _project_px(sensor, film, y_of(cc, rr, phi))[0]
