@@ -281,6 +281,83 @@ def test_register_phase_object():
         mi.unregister_plugin("phase", "myiso")
 
 
+def test_register_texture_object():
+    """First-class texture object plugin with a custom eval."""
+
+    @struct.dataclass
+    class HalfTex:
+        value: jnp.ndarray
+
+        def eval(self, uv, wavelengths, n_channels):
+            n = uv.shape[0]
+            return jnp.broadcast_to(self.value[:n_channels], (n, n_channels))
+
+    mi.register_texture(
+        "half", lambda props: HalfTex(value=jnp.asarray([0.5, 0.5, 0.5]))
+    )
+    try:
+        img = np.asarray(
+            mi.render(
+                _furnace_scene(
+                    {"type": "diffuse", "reflectance": {"type": "half"}}
+                ),
+                spp=64,
+            )
+        )
+        np.testing.assert_allclose(img[8, 8], 0.5, atol=0.05)
+    finally:
+        mi.unregister_plugin("texture", "half")
+
+
+def test_register_medium_expansion_rolls_back_phase_paths():
+    """A medium dict-expansion must not leave stale param paths from the
+    speculative phase parse (regression: '<name>.phase_function.g' pointed
+    at a phase slot the expansion replaced)."""
+    mi.register_medium(
+        "fog",
+        lambda props: {"type": "homogeneous", "sigma_t": 0.5, "albedo": 0.9,
+                       "phase": {"type": "isotropic"}},
+    )
+    try:
+        scene = mi.load_dict({
+            "type": "scene",
+            "integrator": {"type": "volpath", "max_depth": 4},
+            "sensor": {
+                "type": "perspective",
+                "to_world": [{"type": "look_at", "origin": [0, 0, 4],
+                              "target": [0, 0, 0], "up": [0, 1, 0]}],
+                "film": {"type": "hdrfilm", "width": 8, "height": 8,
+                         "rfilter": {"type": "box"}},
+            },
+            "box": {
+                "type": "cube",
+                "bsdf": {"type": "null"},
+                "interior": {"type": "fog", "hgish": {"type": "hg", "g": 0.7}},
+            },
+            "env": {"type": "constant", "radiance": 1.0},
+        })
+        params = mi.traverse(scene)
+        # the speculative hg path must be gone; every surviving key resolves
+        for k in params.keys():
+            params[k]  # no AttributeError
+        assert not any("phase_function.g" in k for k in params.keys())
+        img = np.asarray(mi.render(scene, spp=16))
+        assert np.isfinite(img).all()
+    finally:
+        mi.unregister_plugin("medium", "fog")
+
+
+def test_static_builtin_shadowing_rejected():
+    """rfilter/sampler/film/texture/volume builtins cannot be shadowed
+    (regression: register_rfilter('gaussian', ...) silently rerouted every
+    scene's default filter)."""
+    for cat, name in [("rfilter", "gaussian"), ("sampler", "independent"),
+                      ("film", "hdrfilm"), ("texture", "checkerboard"),
+                      ("volume", "gridvolume")]:
+        with pytest.raises(ValueError, match="shadow"):
+            mi.register_plugin(cat, name, lambda props: {"type": "box"})
+
+
 def test_shadowing_and_errors():
     with pytest.raises(ValueError):
         mi.register_bsdf("diffuse", lambda props: None)  # builtin shadow
