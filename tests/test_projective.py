@@ -264,6 +264,49 @@ def test_sphere_shadow_boundary_gradient():
     assert abs(ad - fd) < 0.15 * abs(fd), (ad, fd)
 
 
+def test_prb_projective_sphere_silhouette():
+    """Sphere silhouette boundary under the PRB base (interior term via the
+    attached geometry tape pass extended to sph_center/sph_radius)."""
+    scene = mi.load_dict({
+        "type": "scene",
+        "integrator": {"type": "prb_projective", "max_depth": 2,
+                       "sppp": 24, "sppi": 0},
+        "sensor": {
+            "type": "perspective",
+            "fov": 40.0,
+            "to_world": {"type": "look_at", "origin": [0, 0, 4],
+                         "target": [0, 0, 0], "up": [0, 1, 0]},
+            "film": {"type": "hdrfilm", "width": 24, "height": 24,
+                     "rfilter": {"type": "box"}},
+        },
+        "bg": {
+            "type": "rectangle",
+            "to_world": mi.Transform.translate([0, 0, -1]) @ mi.Transform.scale([6, 6, 1]),
+            "emitter": {"type": "area", "radiance": {"type": "rgb", "value": [1.0, 0.8, 0.6]}},
+        },
+        "occluder": {
+            "type": "sphere",
+            "center": [0.3, 0.0, 1.0],
+            "radius": 0.5,
+            "bsdf": {"type": "diffuse", "reflectance": {"type": "rgb", "value": [0.1, 0.1, 0.1]}},
+        },
+    })
+    path = _path_for(scene, "occluder.radius")
+    base = _tree_get(scene, path)
+
+    def loss(dr, spp):
+        s2 = _tree_set(scene, path, base + dr)
+        return jnp.sum(mi.render(s2, spp=spp, seed=7))
+
+    eps = 1e-2
+    fd = float(
+        (loss(jnp.asarray(eps), 512) - loss(jnp.asarray(-eps), 512)) / (2 * eps)
+    )
+    ad = float(jax.grad(lambda t: loss(t, 64))(jnp.asarray(0.0)))
+    assert abs(fd) > 10.0, fd
+    assert abs(ad - fd) < 0.12 * abs(fd), (ad, fd)
+
+
 def test_area_shadow_boundary_gradient():
     scene = _area_shadow_scene(
         {"type": "direct_projective", "sppp": 0, "sppi": 24}
