@@ -60,17 +60,21 @@ def _postprocess(scene, L, ray_d, wavelengths, wl_pdf, raw=False):
     return L
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
 def prb_pass_lanes(
     scene, seed, seed_grad, lane0, n, pass_base, spp_pass, spp_total, sensor_idx,
-    raw=False,
+    raw=False, spp_grad=None,
 ):
     """Measurement [n, C] for lanes [lane0, lane0+n) with PRB gradients w.r.t.
     scene parameters.  `lane0` is traced, so one compile serves every chip of
     a shard_map over the wavefront axis (the per-lane RNG is keyed by global
     sample index — partition-invariant, reference: integrator.cpp:230).
     `seed_grad` seeds the backward-pass primal+replay (decorrelated gradient,
-    reference: util.py:617-622)."""
+    reference: util.py:617-622).  `spp_grad` sets the backward pass's own
+    sample count (reference: the spp_grad argument of mi.render,
+    util.py:551-560); None/equal keeps the forward lane set.  Only valid for
+    single-pass renders on mean-develop (FIS) films, where the per-lane film
+    adjoint is uniformly A_px/spp and refolds exactly to a different spp."""
     from ..render_api import make_wavefront
 
     rng, ray, wavelengths, wl_pdf, _ = make_wavefront(
@@ -83,21 +87,37 @@ def prb_pass_lanes(
 
 def _prb_pass_lanes_fwd(
     scene, seed, seed_grad, lane0, n, pass_base, spp_pass, spp_total, sensor_idx,
-    raw=False,
+    raw=False, spp_grad=None,
 ):
     L = prb_pass_lanes(
         scene, seed, seed_grad, lane0, n, pass_base, spp_pass, spp_total, sensor_idx,
-        raw,
+        raw, spp_grad,
     )
     return L, (scene, seed_grad, lane0)
 
 
-def _prb_pass_lanes_bwd(n, pass_base, spp_pass, spp_total, sensor_idx, raw, res, dL):
+def _prb_pass_lanes_bwd(n, pass_base, spp_pass, spp_total, sensor_idx, raw,
+                        spp_grad, res, dL):
     """Reference render_backward (common.py:828-983): fresh primal pass at
     seed_grad -> L', pull the film adjoint back through the measurement
     conversion evaluated on the NEW lanes, then replay those same paths."""
     scene, seed_grad, lane0 = res
     from ..render_api import make_wavefront
+
+    if spp_grad is not None and spp_grad != spp_pass:
+        # refold the per-lane film adjoint to the backward lane set: under
+        # mean-develop each forward lane carries A_px/spp_total, so the
+        # pixel adjoint is the lane-group sum and each of the spp_grad
+        # fresh lanes takes A_px/spp_grad (exact for FIS films; render()
+        # gates the weighted-reconstruction filters)
+        pixels = n // spp_pass
+        dL_px = dL.reshape((pixels, spp_pass) + dL.shape[1:]).sum(axis=1)
+        dL_px = dL_px * (spp_total / (spp_pass * spp_grad))
+        dL = jnp.repeat(dL_px, spp_grad, axis=0)
+        n = pixels * spp_grad
+        # re-anchor a sharded chunk's first lane to the same first PIXEL
+        lane0 = (lane0 // jnp.uint32(spp_pass)) * jnp.uint32(spp_grad)
+        pass_base, spp_pass, spp_total = 0, spp_grad, spp_grad
 
     rng, ray, wavelengths, wl_pdf, _ = make_wavefront(
         scene, seed_grad, lane0, n, pass_base, spp_pass, spp_total, sensor_idx
@@ -142,14 +162,14 @@ def derive_seed_grad(seed, seed_grad=None):
 
 
 def prb_pass(scene, seed, seed_grad, pass_base, spp_pass, spp_total, sensor_idx,
-             raw=False):
+             raw=False, spp_grad=None):
     """Full-film PRB pass (all lanes of one wavefront)."""
     from ..render_api import _pass_lanes
 
     n = _pass_lanes(scene.film, spp_pass)
     return prb_pass_lanes(
         scene, seed, seed_grad, jnp.uint32(0), n, pass_base, spp_pass, spp_total,
-        sensor_idx, raw,
+        sensor_idx, raw, spp_grad,
     )
 
 

@@ -216,7 +216,7 @@ def _render_pass(scene, seed, pass_base, spp_pass, spp_total, sensor_idx):
 
 
 def render(scene, params=None, sensor=0, seed=0, spp=None, spp_per_pass=None,
-           seed_grad=None, integrator=None):
+           seed_grad=None, integrator=None, spp_grad=None):
     """Render to an image tensor [H, W, C] (reference: mi.render,
     util.py:512-626).  `params` accepts a SceneParameters whose scene is then
     rendered (mirroring the reference's signature).  `seed_grad` seeds the
@@ -276,6 +276,20 @@ def render(scene, params=None, sensor=0, seed=0, spp=None, spp_per_pass=None,
             return _render_regen(scene, jnp.uint32(seed), spp, sensor)
 
     use_prb = getattr(scene.integrator, "is_prb", False)
+    if spp_grad is not None and spp_grad != spp:
+        # reference: the spp_grad argument of mi.render (util.py:551-560) —
+        # an independent sample budget for the backward pass
+        if not use_prb:
+            raise ValueError("spp_grad needs a PRB integrator (the tape "
+                             "backward reuses the forward lanes)")
+        if n_passes != 1:
+            raise ValueError("spp_grad requires a single pass "
+                             "(spp_per_pass >= spp)")
+        if film.rfilter in ("mitchell", "catmullrom", "lanczos"):
+            raise ValueError(
+                "spp_grad is exact only for filter-importance-sampled "
+                f"films (box/tent/gaussian), not {film.rfilter!r}"
+            )
     acc = None
     for p in range(n_passes):
         this_spp = min(spp_per_pass, spp - p * spp_per_pass)
@@ -285,7 +299,7 @@ def render(scene, params=None, sensor=0, seed=0, spp=None, spp_per_pass=None,
             # spectral contraction + sensor Stokes rotation happen inside it
             L = _prb_pass_jit(
                 scene, jnp.uint32(seed), seed_grad, p * spp_per_pass, this_spp,
-                spp, sensor,
+                spp, sensor, spp_grad=spp_grad,
             )
             wavelengths = wl_pdf = None
         else:
@@ -425,11 +439,12 @@ def _render_ptracer(scene, seed, spp, sensor_idx):
 
 
 def _prb_pass_jit(scene, seed, seed_grad, pass_base, spp_pass, spp_total, sensor_idx,
-                  raw=False):
+                  raw=False, spp_grad=None):
     from .ad.render_ad import prb_pass
 
-    return jax.jit(prb_pass, static_argnums=(3, 4, 5, 6, 7))(
-        scene, seed, seed_grad, pass_base, spp_pass, spp_total, sensor_idx, raw
+    return jax.jit(prb_pass, static_argnums=(3, 4, 5, 6, 7, 8))(
+        scene, seed, seed_grad, pass_base, spp_pass, spp_total, sensor_idx, raw,
+        spp_grad,
     )
 
 

@@ -64,6 +64,41 @@ def test_prb_grad_vs_fd(key):
     assert rel < 0.05, (key, fd, ad, rel)
 
 
+def test_prb_spp_grad_budget():
+    """spp_grad gives the backward pass its own sample budget (reference:
+    mi.render's spp_grad, util.py:551-560): gradients stay unbiased — a
+    high-spp_grad estimate agrees with the FD reference — and the refold is
+    exact: spp_grad == spp reproduces the default path bitwise."""
+    scene = _small_cbox({"type": "prb", "max_depth": 4})
+    key = "white.reflectance.value"
+    path = _path_for(scene, key)
+    base = _tree_get(scene, path)
+
+    def loss(v, spp_grad):
+        s2 = _tree_set(scene, path, v)
+        return jnp.sum(mi.render(s2, spp=64, seed=3, spp_grad=spp_grad))
+
+    g_default = jax.grad(lambda v: jnp.sum(
+        mi.render(_tree_set(scene, path, v), spp=64, seed=3)))(base)
+    g_same = jax.grad(lambda v: loss(v, 64))(base)
+    np.testing.assert_array_equal(np.asarray(g_default), np.asarray(g_same))
+
+    g_big = jax.grad(lambda v: loss(v, 256))(base)
+    eps = 2e-3
+    ones = jnp.ones_like(base)
+    f = lambda t: jnp.sum(mi.render(
+        _tree_set(scene, path, base + t * ones), spp=256, seed=3))
+    fd = float((f(jnp.asarray(eps)) - f(jnp.asarray(-eps))) / (2 * eps))
+    rel = abs(float(jnp.sum(g_big)) - fd) / max(abs(fd), 1e-3)
+    assert rel < 0.05, (fd, float(jnp.sum(g_big)), rel)
+
+    with pytest.raises(ValueError, match="PRB"):
+        s_path = _small_cbox({"type": "path", "max_depth": 4})
+        jax.grad(lambda v: jnp.sum(mi.render(
+            _tree_set(s_path, _path_for(s_path, key), v),
+            spp=64, seed=3, spp_grad=16)))(base)
+
+
 def test_tape_grad_vs_fd_path():
     """Tape-mode AD through the scan (path integrator) against FD."""
     scene = _small_cbox({"type": "path", "max_depth": 4})
