@@ -32,11 +32,11 @@ reflected silhouettes of moving geometry and AREA-emitter soft-shadow
 boundaries.  Analytic spheres participate through their silhouette CIRCLES
 (`sphere_boundary_vjp` camera-side, `sphere_shadow_boundary_vjp` under
 delta/directional emitters), with cotangents to the differentiable
-center/radius parameters.  Scope notes vs the reference: boundary segments
-deeper than the first reflection (camera->y1->y2->edge) are not sampled,
-matching the dominant terms of prb_projective; sphere blockers under AREA
-emitters rely on the mesh-edge-guided indirect pass and are not
-circle-sampled.
+center/radius parameters; the receiver-side pass samples their circles per
+lane (`sphere_indirect_boundary_vjp`), so sphere blockers are covered under
+delta, directional AND area emitters.  Scope note vs the reference:
+boundary segments deeper than the first reflection (camera->y1->y2->edge)
+are not sampled, matching the dominant terms of prb_projective.
 """
 from __future__ import annotations
 
@@ -846,6 +846,149 @@ def indirect_boundary_vjp(scene, d_img, seed, n_b, sensor_idx=0):
     return jax.grad(phi)(verts)
 
 
+def sphere_indirect_boundary_vjp(scene, d_img, seed, n_b, sensor_idx=0):
+    """(d center [S,3], d radius [S]) cotangents of the receiver-side
+    indirect boundary for SPHERE blockers: jumps of the incident radiance
+    field across a sphere's silhouette circle as seen from the first path
+    vertex y — the sphere analog of indirect_boundary_vjp's mesh-edge term,
+    covering area-emitter soft shadows of sphere occluders and reflected
+    sphere silhouettes (the per-lane viewpoint makes the circle basis
+    lane-dependent; the indicator is always true from outside the sphere)."""
+    geom = scene.geometry
+    sensor = scene.sensors[sensor_idx]
+    film = scene.film
+    wh = _film_wh(film)
+    W = film.width
+    H = film.height
+
+    from ..core.frame import coordinate_system
+    from ..integrators.path import PathIntegrator
+
+    base = getattr(scene.integrator, "base", scene.integrator)
+    if hasattr(base, "max_depth"):
+        probe_integ = base.replace(max_depth=max(base.max_depth - 1, 1))
+    else:
+        probe_integ = PathIntegrator(max_depth=1, rr_depth=64,
+                                     hide_emitters=False)
+    s_probe = scene.replace(integrator=probe_integ)
+
+    S = geom.n_spheres
+    ct_c = jnp.zeros_like(geom.sph_center)
+    ct_r = jnp.zeros_like(geom.sph_radius)
+    for s in range(S):
+        c0 = geom.sph_center[s]
+        r0 = geom.sph_radius[s]
+        shp = geom.sph_shape[s]
+
+        rng = RNG(seed ^ jnp.uint32(0x51D17300 + s),
+                  jnp.arange(n_b, dtype=jnp.uint32))
+        u_px, u_phi, rng = rng.next_2d()
+        pix = jnp.minimum((u_px * W * H).astype(jnp.int32), W * H - 1)
+        px = (pix % W).astype(jnp.float32) + 0.5
+        py = (pix // W).astype(jnp.float32) + 0.5
+        uv = jnp.stack([px, py], axis=-1) / wh
+        ray0 = sensor.sample_ray(uv, jnp.full((n_b, 2), 0.5, jnp.float32))
+        si1 = scene.ray_intersect(ray0, jnp.ones((n_b,), bool))
+        valid = si1.is_valid & (si1.shape_index != shp)
+        y = jax.lax.stop_gradient(si1.p)
+
+        phi = u_phi * (2.0 * jnp.pi)
+        dvec0 = c0 - y                                     # [N, 3]
+        L0 = jnp.linalg.norm(dvec0, axis=-1)
+        valid &= (L0 > r0 * 1.001) & (shp >= 0)
+        dh0 = dvec0 / jnp.maximum(L0, 1e-12)[:, None]
+        e1b, e2b = coordinate_system(dh0)
+        e1b = jax.lax.stop_gradient(e1b)
+        e2b = jax.lax.stop_gradient(e2b)
+
+        def x_of(cc, rr, ph):
+            dv = cc[None, :] - y
+            Ln = jnp.maximum(jnp.linalg.norm(dv, axis=-1), 1e-12)
+            dh = dv / Ln[:, None]
+            sin2 = jnp.clip((rr / Ln) ** 2, 0.0, 1.0 - 1e-6)
+            rho = (rr * jnp.sqrt(1.0 - sin2))[:, None]
+            base_p = cc[None, :] - ((rr * rr) / Ln)[:, None] * dh
+            return base_p + rho * (
+                jnp.cos(ph)[:, None] * e1b + jnp.sin(ph)[:, None] * e2b
+            )
+
+        def omega_of(cc, rr, ph):
+            dd = x_of(cc, rr, ph) - y
+            return dd / jnp.maximum(
+                jnp.linalg.norm(dd, axis=-1, keepdims=True), 1e-12
+            )
+
+        x = x_of(c0, r0, phi)
+        r = jnp.linalg.norm(x - y, axis=-1)
+        valid &= r > 1e-4
+        omega = (x - y) / jnp.maximum(r, 1e-12)[:, None]
+
+        occ = scene.ray_test(
+            spawn_ray(y, si1.n, omega, maxt=r * (1.0 - 1e-3)), valid
+        )
+        valid &= ~occ
+
+        tau = jax.jvp(
+            lambda ph: omega_of(c0, r0, ph), (phi,), (jnp.ones_like(phi),)
+        )[1]
+        tau_s = tau - jnp.sum(tau * omega, axis=-1, keepdims=True) * omega
+        tau_n = jnp.linalg.norm(tau_s, axis=-1)
+        valid &= tau_n > 1e-9
+        n_hat = jnp.cross(omega, tau_s / jnp.maximum(tau_n, 1e-12)[:, None])
+
+        eps_r = 5e-3
+        w_p = omega + eps_r * n_hat
+        w_p = w_p / jnp.linalg.norm(w_p, axis=-1, keepdims=True)
+        w_m = omega - eps_r * n_hat
+        w_m = w_m / jnp.linalg.norm(w_m, axis=-1, keepdims=True)
+        ray_p = spawn_ray(y, si1.n, w_p)
+        ray_m = spawn_ray(y, si1.n, w_m)
+        si_p = scene.ray_intersect(ray_p, valid)
+        si_m = scene.ray_intersect(ray_m, valid)
+        tol = 0.05 * r
+        match_p = (si_p.shape_index == shp) & (jnp.abs(si_p.t - r) < tol)
+        match_m = (si_m.shape_index == shp) & (jnp.abs(si_m.t - r) < tol)
+        fg_plus = match_p & ~match_m
+        fg_minus = match_m & ~match_p
+        valid &= fg_plus | fg_minus
+        n_hat = jnp.where(fg_plus[:, None], -n_hat, n_hat)
+
+        L_p = _radiance(s_probe, ray_p, seed, 0x51D2A007 + s, valid)
+        L_m = _radiance(s_probe, ray_m, seed, 0x51D3B008 + s, valid)
+        dL = jnp.where(fg_plus[:, None], L_p - L_m, L_m - L_p)
+
+        wi_dir = -ray0.d
+
+        def to_local(v):
+            return jnp.stack(
+                [
+                    jnp.sum(v * si1.sh_s, axis=-1),
+                    jnp.sum(v * si1.sh_t, axis=-1),
+                    jnp.sum(v * si1.sh_n, axis=-1),
+                ],
+                axis=-1,
+            )
+
+        f_val, _ = scene.bsdf_eval_pdf(
+            si1.replace(wi=to_local(wi_dir)), to_local(omega), None, valid
+        )
+
+        adj = _gather_adjoint(d_img, jnp.stack([px, py], axis=-1), valid)
+        cval = jnp.sum(adj * f_val * dL, axis=-1)
+        k = jnp.where(
+            valid, cval * tau_n * (2.0 * jnp.pi) / n_b * (W * H), 0.0
+        )
+
+        def phi_fn(cc, rr):
+            om = omega_of(cc, rr, phi)
+            return jnp.sum(k * jnp.sum(n_hat * om, axis=-1))
+
+        gc, gr = jax.grad(phi_fn, argnums=(0, 1))(c0, r0)
+        ct_c = ct_c.at[s].add(gc)
+        ct_r = ct_r.at[s].add(gr)
+    return ct_c, ct_r
+
+
 # ---------------------------------------------------------------------------
 # Projective render op (the _RenderOp / PSIntegrator.render_ad analog)
 # ---------------------------------------------------------------------------
@@ -950,6 +1093,11 @@ def _pr_bwd(spp, sensor_idx, sppp, sppi, res, d_img):
             )
             gsc = gsc + sc_s
             gsr = gsr + sr_s
+            sc_i, sr_i = sphere_indirect_boundary_vjp(
+                scene, d_img, seed, n_pix * sppi, sensor_idx
+            )
+            gsc = gsc + sc_i
+            gsr = gsr + sr_i
     vts = ct_scene.geometry.vertices
     if isinstance(vts, jax.Array) and jnp.issubdtype(vts.dtype, jnp.floating):
         gv = gv + vts

@@ -220,6 +220,58 @@ def test_sphere_silhouette_gradient():
     assert abs(ad - fd) < 0.12 * abs(fd), (ad, fd)
 
 
+def test_sphere_area_shadow_boundary_gradient():
+    """Sphere blocker under an AREA emitter: covered by the receiver-side
+    sphere-circle indirect pass (sphere_indirect_boundary_vjp) — the
+    emitter-side shadow pass handles delta emitters only."""
+    scene = mi.load_dict({
+        "type": "scene",
+        "integrator": {"type": "direct_projective", "sppp": 0, "sppi": 24},
+        "sensor": {
+            "type": "perspective",
+            "fov": 30.0,
+            "to_world": {"type": "look_at", "origin": [0, 0, 5],
+                         "target": [0, 0, 0], "up": [0, 1, 0]},
+            "film": {"type": "hdrfilm", "width": 24, "height": 24,
+                     "rfilter": {"type": "box"}},
+        },
+        "floor": {
+            "type": "rectangle",
+            "to_world": mi.Transform.scale([8, 8, 1]),
+            "bsdf": {"type": "diffuse", "reflectance": {"type": "rgb", "value": [0.7, 0.7, 0.7]}},
+        },
+        "occluder": {
+            "type": "sphere",
+            "center": [2.5, 1.0, 2.0],
+            "radius": 0.7,
+            "bsdf": {"type": "diffuse", "reflectance": {"type": "rgb", "value": [0.2, 0.2, 0.2]}},
+        },
+        "panel": {
+            "type": "rectangle",
+            "to_world": (
+                mi.Transform.translate([5.0, 2.0, 4.5])
+                @ mi.Transform.look_at([0, 0, 0], [-5.0, -2.0, -4.5], [0, 1, 0])
+                @ mi.Transform.scale([0.4, 0.4, 1])
+            ),
+            "emitter": {"type": "area", "radiance": {"type": "rgb", "value": [120.0, 120.0, 120.0]}},
+        },
+    })
+    path = _path_for(scene, "occluder.radius")
+    base = _tree_get(scene, path)
+
+    def loss(dr, spp):
+        s2 = _tree_set(scene, path, base + dr)
+        return jnp.sum(mi.render(s2, spp=spp, seed=7))
+
+    eps = 1e-2
+    fd = float(
+        (loss(jnp.asarray(eps), 768) - loss(jnp.asarray(-eps), 768)) / (2 * eps)
+    )
+    ad = float(jax.grad(lambda t: loss(t, 64))(jnp.asarray(0.0)))
+    assert abs(fd) > 1.0, fd
+    assert abs(ad - fd) < 0.2 * abs(fd), (ad, fd)
+
+
 def test_sphere_shadow_boundary_gradient():
     """Sphere BLOCKER under a point light (sphere_shadow_boundary_vjp):
     the only image change from growing the out-of-view sphere is its moving
