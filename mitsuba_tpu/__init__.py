@@ -28,7 +28,9 @@ __version__ = "0.1.0"
 # Populated as subsystems land (scene loading, render entry points, AD ops):
 from .render.scene_loader import load_dict, load_file, cornell_box  # noqa: E402
 from .render.params import traverse, SceneParameters  # noqa: E402
-from .render_api import render, render_1, render_test, render_forward, scene_tangent  # noqa: E402
+from .render_api import (  # noqa: E402
+    render, render_1, render_test, render_forward, scene_tangent, CancelToken,
+)
 from . import ad  # noqa: E402
 from .utils import io as util  # noqa: E402  (mi.util.write_bitmap parity)
 from .utils import polvis, tonemap  # noqa: E402

@@ -125,6 +125,7 @@ class PRBIntegrator(PathIntegrator):
         """One PRB replay step (the scan body of sample_backward, shared with
         the regenerative backward driver).  `s['depth']` may be scalar (plain
         replay) or per-lane (regeneration); all uses broadcast."""
+        nee = self.use_nee
         rng = s["rng"]
         cur_ray = Ray.make(s["ray_o"], s["ray_d"])
         si = scene_d.ray_intersect(cur_ray, s["active"])
@@ -132,18 +133,24 @@ class PRBIntegrator(PathIntegrator):
 
         # ---- detached MIS weights for emitter hits / escapes ----
         escaped = s["active"] & ~si.is_valid
-        env_pdf = jnp.where(
-            s["prev_delta"], 0.0,
-            scene_d.pdf_emitter_direction_escaped(s["ray_d"]),
-        )
-        w_env = mis_weight(s["prev_pdf"], env_pdf)
+        if nee:
+            env_pdf = jnp.where(
+                s["prev_delta"], 0.0,
+                scene_d.pdf_emitter_direction_escaped(s["ray_d"]),
+            )
+            w_env = mis_weight(s["prev_pdf"], env_pdf)
+        else:
+            w_env = jnp.ones_like(s["prev_pdf"])
         hide = self.hide_emitters & first
         hit_em = s["active"] & si.is_valid
-        em_pdf = jnp.where(
-            s["prev_delta"], 0.0,
-            scene_d.pdf_emitter_direction_hit(s["prev_p"], si),
-        )
-        w_em = mis_weight(s["prev_pdf"], em_pdf)
+        if nee:
+            em_pdf = jnp.where(
+                s["prev_delta"], 0.0,
+                scene_d.pdf_emitter_direction_hit(s["prev_p"], si),
+            )
+            w_em = mis_weight(s["prev_pdf"], em_pdf)
+        else:
+            w_em = jnp.ones_like(s["prev_pdf"])
 
         env_val_d = scene_d.eval_environment(s["ray_d"], wavelengths)
         em_val_d = scene_d.eval_emitter_hit(si, wavelengths)
@@ -160,20 +167,23 @@ class PRBIntegrator(PathIntegrator):
         u2b_x, u2b_y, rng = _next2(rng)
         u_rr, _, rng = _next2(rng)
 
-        ds, em_weight_d = scene_d.sample_emitter_direction(
-            si.p, u0, jnp.stack([u2a_x, u2a_y], axis=-1), wavelengths,
-            active_next, test_visibility=True, ref_n=si.n,
-        )
-        wo_em = si.to_local(ds.d)
-        bsdf_val_em_d, bsdf_pdf_em = scene_d.bsdf_eval_pdf(
-            si, wo_em, wavelengths, active_next
-        )
-        w_nee = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, bsdf_pdf_em))
-        Lr_dir_det = jnp.where(
-            active_next[..., None],
-            s["beta"] * bsdf_val_em_d * em_weight_d * w_nee[..., None],
-            0.0,
-        )
+        if nee:
+            ds, em_weight_d = scene_d.sample_emitter_direction(
+                si.p, u0, jnp.stack([u2a_x, u2a_y], axis=-1), wavelengths,
+                active_next, test_visibility=True, ref_n=si.n,
+            )
+            wo_em = si.to_local(ds.d)
+            bsdf_val_em_d, bsdf_pdf_em = scene_d.bsdf_eval_pdf(
+                si, wo_em, wavelengths, active_next
+            )
+            w_nee = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, bsdf_pdf_em))
+            Lr_dir_det = jnp.where(
+                active_next[..., None],
+                s["beta"] * bsdf_val_em_d * em_weight_d * w_nee[..., None],
+                0.0,
+            )
+        else:
+            Lr_dir_det = jnp.zeros_like(s["L"])
 
         bs, bsdf_weight_d = scene_d.bsdf_sample(
             si, u_lobe, jnp.stack([u2b_x, u2b_y], axis=-1), wavelengths,
@@ -181,12 +191,14 @@ class PRBIntegrator(PathIntegrator):
         )
         wo_next = bs.wo
 
-        # detached ratio that carries pdf/visibility/geometry of the NEE
-        # weight; attached recompute multiplies the raw radiance back in
-        em_val_plain_d = scene_d.eval_emitter_sample(ds, wavelengths)
-        em_ratio = jnp.where(
-            em_val_plain_d > 1e-20, em_weight_d / jnp.maximum(em_val_plain_d, 1e-20), 0.0
-        )
+        if nee:
+            # detached ratio that carries pdf/visibility/geometry of the NEE
+            # weight; attached recompute multiplies the raw radiance back in
+            em_val_plain_d = scene_d.eval_emitter_sample(ds, wavelengths)
+            em_ratio = jnp.where(
+                em_val_plain_d > 1e-20,
+                em_weight_d / jnp.maximum(em_val_plain_d, 1e-20), 0.0,
+            )
 
         # inverse of the detached continuing weight (prb.py:222-224)
         bsdf_val_det = bsdf_weight_d * bs.pdf[..., None]
@@ -204,15 +216,18 @@ class PRBIntegrator(PathIntegrator):
                 jnp.where((escaped & ~hide)[..., None], beta_det * w_env[..., None] * env_a, 0.0)
                 + jnp.where((hit_em & ~hide)[..., None], beta_det * w_em[..., None] * em_hit_a, 0.0)
             )
-            em_val_a = scene_att.eval_emitter_sample(ds, wavelengths)
-            bsdf_val_em_a, _ = scene_att.bsdf_eval_pdf(
-                si, wo_em, wavelengths, active_next
-            )
-            Lr_dir_a = jnp.where(
-                active_next[..., None],
-                beta_det * bsdf_val_em_a * (em_val_a * em_ratio) * w_nee[..., None],
-                0.0,
-            )
+            if nee:
+                em_val_a = scene_att.eval_emitter_sample(ds, wavelengths)
+                bsdf_val_em_a, _ = scene_att.bsdf_eval_pdf(
+                    si, wo_em, wavelengths, active_next
+                )
+                Lr_dir_a = jnp.where(
+                    active_next[..., None],
+                    beta_det * bsdf_val_em_a * (em_val_a * em_ratio) * w_nee[..., None],
+                    0.0,
+                )
+            else:
+                Lr_dir_a = jnp.zeros_like(Le_a)
             bsdf_val_a, _ = scene_att.bsdf_eval_pdf(
                 si, wo_next, wavelengths, active_next
             )

@@ -32,10 +32,14 @@ def make_integrator(spec):
     if t in ("prb", "prb_basic"):
         from ..ad.prb import PRBIntegrator
 
+        # prb_basic is the pure BSDF-sampling estimator: no NEE, no MIS
+        # (reference: src/python/python/ad/integrators/prb_basic.py) — a
+        # higher-variance debugging baseline, NOT an alias of prb.
         return PRBIntegrator(
             max_depth=max_depth, rr_depth=rr_depth, hide_emitters=hide,
             defer_nee=bool(spec.get("defer_nee", True)),
             regenerate=bool(spec.get("regenerate", False)),
+            use_nee=(t == "prb"),
         )
     if t == "direct":
         from .direct import DirectIntegrator

@@ -37,6 +37,12 @@ class PathIntegrator:
     # path regeneration (see path_regen_render below): dead lanes restart
     # on the pixel's next sample instead of idling to max_depth
     regenerate: bool = struct.field(pytree_node=False, default=False)
+    # use_nee=False gives the pure BSDF-sampling estimator (no next-event
+    # estimation, no MIS — emitter hits always counted at full weight), the
+    # semantics of the reference's prb_basic
+    # (src/python/python/ad/integrators/prb_basic.py).  RNG draws stay in the
+    # same order either way so primal/backward replay is unaffected.
+    use_nee: bool = struct.field(pytree_node=False, default=True)
 
     def regen_render(self, scene, seed, spp, sensor_idx, record_samples=False):
         return path_regen_render(
@@ -47,7 +53,8 @@ class PathIntegrator:
         n = ray.o.shape[0]
         nc = scene.n_channels
         max_depth = self.max_depth if self.max_depth > 0 else 1024
-        defer = self.defer_nee and not scene.geometry.has_bvh
+        defer = self.use_nee and self.defer_nee and not scene.geometry.has_bvh
+        nee = self.use_nee
 
         L0 = jnp.zeros((n, nc), jnp.float32)
         beta0 = jnp.ones((n, nc), jnp.float32)
@@ -94,10 +101,14 @@ class PathIntegrator:
             # ---- emitter hits / escaped rays, MIS vs previous BSDF pdf ----
             escaped = s["active"] & ~si.is_valid
             env_val = scene.eval_environment(s["ray_d"], wavelengths)
-            env_pdf = jnp.where(
-                s["prev_delta"], 0.0, scene.pdf_emitter_direction_escaped(s["ray_d"])
-            )
-            w_env = mis_weight(s["prev_pdf"], env_pdf)
+            if nee:
+                env_pdf = jnp.where(
+                    s["prev_delta"], 0.0,
+                    scene.pdf_emitter_direction_escaped(s["ray_d"]),
+                )
+                w_env = mis_weight(s["prev_pdf"], env_pdf)
+            else:
+                w_env = jnp.ones_like(s["prev_pdf"])
             hide = self.hide_emitters & first
             L = s["L"] + jnp.where(
                 (escaped & ~hide)[..., None], s["beta"] * w_env[..., None] * env_val, 0.0
@@ -105,11 +116,14 @@ class PathIntegrator:
 
             hit_em = s["active"] & si.is_valid
             em_val = scene.eval_emitter_hit(si, wavelengths)
-            em_pdf = jnp.where(
-                s["prev_delta"], 0.0,
-                scene.pdf_emitter_direction_hit(s["prev_p"], si),
-            )
-            w_em = mis_weight(s["prev_pdf"], em_pdf)
+            if nee:
+                em_pdf = jnp.where(
+                    s["prev_delta"], 0.0,
+                    scene.pdf_emitter_direction_hit(s["prev_p"], si),
+                )
+                w_em = mis_weight(s["prev_pdf"], em_pdf)
+            else:
+                w_em = jnp.ones_like(s["prev_pdf"])
             L = L + jnp.where(
                 (hit_em & ~hide)[..., None], s["beta"] * w_em[..., None] * em_val, 0.0
             )
@@ -122,18 +136,22 @@ class PathIntegrator:
             u2b_x, u2b_y, rng = _next2(rng)
             u_rr, _, rng = _next2(rng)
 
-            ds, em_weight = scene.sample_emitter_direction(
-                si.p, u0, jnp.stack([u2a_x, u2a_y], axis=-1), wavelengths,
-                active_next, test_visibility=not defer, ref_n=si.n,
-            )
-            wo_local_em = si.to_local(ds.d)
-            bsdf_val, bsdf_pdf = scene.bsdf_eval_pdf(
-                si, wo_local_em, wavelengths, active_next
-            )
-            w_nee = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, bsdf_pdf))
-            contrib = jnp.where(
-                active_next[..., None], s["beta"] * bsdf_val * em_weight * w_nee[..., None], 0.0
-            )
+            if nee:
+                ds, em_weight = scene.sample_emitter_direction(
+                    si.p, u0, jnp.stack([u2a_x, u2a_y], axis=-1), wavelengths,
+                    active_next, test_visibility=not defer, ref_n=si.n,
+                )
+                wo_local_em = si.to_local(ds.d)
+                bsdf_val, bsdf_pdf = scene.bsdf_eval_pdf(
+                    si, wo_local_em, wavelengths, active_next
+                )
+                w_nee = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, bsdf_pdf))
+                contrib = jnp.where(
+                    active_next[..., None],
+                    s["beta"] * bsdf_val * em_weight * w_nee[..., None], 0.0,
+                )
+            else:
+                contrib = jnp.zeros_like(s["L"])
             if defer:
                 # enqueue: the shadow ray (same construction as
                 # scene.sample_emitter_direction's test_visibility branch)
@@ -173,9 +191,9 @@ class PathIntegrator:
 
             # ray-cast accounting for Mrays/s benchmarks: one closest-hit per
             # active lane + one shadow ray per NEE-active lane
-            n_rays = s["n_rays"] + jnp.sum(s["active"].astype(jnp.float32)) + jnp.sum(
-                active_next.astype(jnp.float32)
-            )
+            n_rays = s["n_rays"] + jnp.sum(s["active"].astype(jnp.float32))
+            if nee:
+                n_rays = n_rays + jnp.sum(active_next.astype(jnp.float32))
 
             out = dict(
                 depth=s["depth"] + 1,
@@ -364,12 +382,16 @@ def path_regen_render(integrator, scene, seed, spp, sensor_idx,
         si = scene.ray_intersect(cur_ray, s["active"])
         first = s["depth"] == 0
 
+        nee = integrator.use_nee
         escaped = s["active"] & ~si.is_valid
         env_val = scene.eval_environment(s["ray_d"], None)
-        env_pdf = jnp.where(
-            s["prev_delta"], 0.0, scene.pdf_emitter_direction_escaped(s["ray_d"])
-        )
-        w_env = mis_weight(s["prev_pdf"], env_pdf)
+        if nee:
+            env_pdf = jnp.where(
+                s["prev_delta"], 0.0, scene.pdf_emitter_direction_escaped(s["ray_d"])
+            )
+            w_env = mis_weight(s["prev_pdf"], env_pdf)
+        else:
+            w_env = jnp.ones_like(s["prev_pdf"])
         hide = integrator.hide_emitters & first
         L = s["L"] + jnp.where(
             (escaped & ~hide)[..., None], s["beta"] * w_env[..., None] * env_val, 0.0
@@ -377,10 +399,13 @@ def path_regen_render(integrator, scene, seed, spp, sensor_idx,
 
         hit_em = s["active"] & si.is_valid
         em_val = scene.eval_emitter_hit(si, None)
-        em_pdf = jnp.where(
-            s["prev_delta"], 0.0, scene.pdf_emitter_direction_hit(s["prev_p"], si)
-        )
-        w_em = mis_weight(s["prev_pdf"], em_pdf)
+        if nee:
+            em_pdf = jnp.where(
+                s["prev_delta"], 0.0, scene.pdf_emitter_direction_hit(s["prev_p"], si)
+            )
+            w_em = mis_weight(s["prev_pdf"], em_pdf)
+        else:
+            w_em = jnp.ones_like(s["prev_pdf"])
         L = L + jnp.where(
             (hit_em & ~hide)[..., None], s["beta"] * w_em[..., None] * em_val, 0.0
         )
@@ -392,17 +417,18 @@ def path_regen_render(integrator, scene, seed, spp, sensor_idx,
         u2b_x, u2b_y, rng = _next2(rng)
         u_rr, _, rng = _next2(rng)
 
-        ds, em_weight = scene.sample_emitter_direction(
-            si.p, u0, jnp.stack([u2a_x, u2a_y], axis=-1), None,
-            active_next, test_visibility=True, ref_n=si.n,
-        )
-        wo_local_em = si.to_local(ds.d)
-        bsdf_val, bsdf_pdf = scene.bsdf_eval_pdf(si, wo_local_em, None, active_next)
-        w_nee = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, bsdf_pdf))
-        L = L + jnp.where(
-            active_next[..., None],
-            s["beta"] * bsdf_val * em_weight * w_nee[..., None], 0.0,
-        )
+        if nee:
+            ds, em_weight = scene.sample_emitter_direction(
+                si.p, u0, jnp.stack([u2a_x, u2a_y], axis=-1), None,
+                active_next, test_visibility=True, ref_n=si.n,
+            )
+            wo_local_em = si.to_local(ds.d)
+            bsdf_val, bsdf_pdf = scene.bsdf_eval_pdf(si, wo_local_em, None, active_next)
+            w_nee = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, bsdf_pdf))
+            L = L + jnp.where(
+                active_next[..., None],
+                s["beta"] * bsdf_val * em_weight * w_nee[..., None], 0.0,
+            )
 
         bs, bsdf_weight = scene.bsdf_sample(
             si, u_lobe, jnp.stack([u2b_x, u2b_y], axis=-1), None, active_next
@@ -423,9 +449,9 @@ def path_regen_render(integrator, scene, seed, spp, sensor_idx,
         )
         alive = alive & (~rr_active | rr_continue)
 
-        n_rays = s["n_rays"] + jnp.sum(s["active"].astype(jnp.float32)) + jnp.sum(
-            active_next.astype(jnp.float32)
-        )
+        n_rays = s["n_rays"] + jnp.sum(s["active"].astype(jnp.float32))
+        if nee:
+            n_rays = n_rays + jnp.sum(active_next.astype(jnp.float32))
 
         return dict(
             s,

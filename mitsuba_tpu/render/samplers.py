@@ -8,8 +8,13 @@ stratified/low-discrepancy points *per pixel* by combining the lane's
 sample-within-pixel index with scrambling from the lane RNG — stateless and
 replay-stable, no per-thread sampler objects needed.
 
-These generators currently drive the film-plane jitter dimension (the largest
-variance contributor); the path dimensions use the independent stream.
+These generators drive the film-plane jitter dimension.  The *path*
+dimensions are covered too, by the RNG stream modes in core/rng.py: with
+``lds=True`` every dimension the path consumes comes from an Owen-scrambled
+(0,2)-sequence (ldsampler/sobol) or a Bose strength-2 orthogonal array
+(orthogonal), keyed by (pixel, sample index, dimension counter) so PRB
+replay stays bitwise identical (see core/rng.py:14-22 and
+tests/test_samplers_lds.py).
 """
 from __future__ import annotations
 

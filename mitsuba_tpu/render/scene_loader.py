@@ -26,7 +26,8 @@ BSDF_TYPES = {
     "diffuse", "dielectric", "thindielectric", "conductor", "roughconductor",
     "roughdielectric", "roughplastic", "plastic", "twosided", "null", "mask",
     "blendbsdf", "polarizer", "retarder", "circular", "pplastic", "normalmap", "bumpmap",
-    "principled", "principled_thin", "measured", "measured_polarized", "hair",
+    "principled", "principledthin", "principled_thin", "measured",
+    "measured_polarized", "hair",
 }
 SHAPE_TYPES = {
     "rectangle", "cube", "sphere", "obj", "ply", "disk", "serialized",
@@ -465,8 +466,10 @@ def parse_bsdf(spec, name, paths):
             diff_refl_srate=float(spec.get("diffuse_reflectance_sampling_rate", 1.0)),
             **texs,
         )
-    if t == "principled_thin":
-        # reference: src/bsdfs/principledthin.cpp:158-190
+    if t in ("principledthin", "principled_thin"):
+        # reference: src/bsdfs/principledthin.cpp:158-190 registers the
+        # plugin as "principledthin"; the underscored alias is kept for
+        # backward compatibility with earlier versions of this loader.
         def _has(key):
             v = spec.get(key)
             if v is None:

@@ -215,8 +215,23 @@ def _render_pass(scene, seed, pass_base, spp_pass, spp_total, sensor_idx):
     )
 
 
+class CancelToken:
+    """Cooperative cancellation for render() (reference:
+    Integrator::cancel() + m_stop polled per block, integrator.cpp:120-122,
+    248).  Pass one to render(cancel=...); calling cancel() — e.g. from a
+    signal handler or another thread — makes the render stop at the next
+    pass boundary and return the unbiased partial accumulation."""
+
+    def __init__(self):
+        self.cancelled = False
+
+    def cancel(self):
+        self.cancelled = True
+
+
 def render(scene, params=None, sensor=0, seed=0, spp=None, spp_per_pass=None,
-           seed_grad=None, integrator=None, spp_grad=None):
+           seed_grad=None, integrator=None, spp_grad=None, timeout=None,
+           cancel=None):
     """Render to an image tensor [H, W, C] (reference: mi.render,
     util.py:512-626).  `params` accepts a SceneParameters whose scene is then
     rendered (mirroring the reference's signature).  `seed_grad` seeds the
@@ -225,7 +240,16 @@ def render(scene, params=None, sensor=0, seed=0, spp=None, spp_per_pass=None,
     util.py:617-622 — correlated seeds bias nonlinear-loss optimization).
     `integrator` overrides the scene's integrator for this render: an
     integrator instance or a scene-dict spec (reference: the `integrator`
-    argument of mi.render, util.py:518)."""
+    argument of mi.render, util.py:518).
+
+    `timeout` (seconds of wall clock) and `cancel` (a CancelToken) stop the
+    multipass accumulation loop early at a pass boundary and return the
+    unbiased average of the passes completed so far (reference: the render
+    `timeout` property and Integrator::cancel(), integrator.cpp:24,120-122).
+    Granularity is one pass, so when either is given and no explicit
+    spp_per_pass was requested, spp is split into ~8 passes to create
+    checkpoints.  Single-launch drivers (ptracer/projective/regenerative)
+    cannot stop mid-launch and ignore both."""
     if params is not None and hasattr(params, "scene"):
         scene = params.scene
     if integrator is not None:
@@ -236,6 +260,8 @@ def render(scene, params=None, sensor=0, seed=0, spp=None, spp_per_pass=None,
         scene = scene.replace(integrator=integrator)
     film = scene.film
     spp = spp or scene.spp
+    if spp_per_pass is None and (timeout is not None or cancel is not None):
+        spp_per_pass = max(1, spp // 8)
     spp_per_pass = min(spp_per_pass or spp, spp)
     n_passes = (spp + spp_per_pass - 1) // spp_per_pass
     from .ad.render_ad import derive_seed_grad
@@ -290,8 +316,18 @@ def render(scene, params=None, sensor=0, seed=0, spp=None, spp_per_pass=None,
                 "spp_grad is exact only for filter-importance-sampled "
                 f"films (box/tent/gaussian), not {film.rfilter!r}"
             )
+    import time as _time
+
+    t_start = _time.monotonic()
     acc = None
+    spp_done = 0
     for p in range(n_passes):
+        if p > 0:
+            # pass-boundary stop checks; pass 0 always runs so a result exists
+            if cancel is not None and cancel.cancelled:
+                break
+            if timeout is not None and _time.monotonic() - t_start > timeout:
+                break
         this_spp = min(spp_per_pass, spp - p * spp_per_pass)
         aux = {}
         if use_prb:
@@ -327,7 +363,13 @@ def render(scene, params=None, sensor=0, seed=0, spp=None, spp_per_pass=None,
                 L = jnp.clip(spec.xyz_to_srgb(xyz), 0.0, None)
         img = develop(film, L, this_spp, jitter=aux.get("film_jitter"))
         acc = img * this_spp if acc is None else acc + img * this_spp
-    return acc / spp
+        spp_done += this_spp
+        if (timeout is not None or cancel is not None) and not isinstance(
+            acc, jax.core.Tracer
+        ):
+            # timed renders must observe real completion, not dispatch time
+            acc.block_until_ready()
+    return acc / spp_done
 
 
 def render_progressive(scene, sensor=0, seed=0, spp=None, spp_per_pass=None):

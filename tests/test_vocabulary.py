@@ -162,7 +162,7 @@ def test_spectra(sp):
     mi.load_dict(d)
 
 
-@pytest.mark.parametrize("b", "diffuse dielectric thindielectric roughdielectric conductor roughconductor plastic roughplastic principled blendbsdf mask null twosided bumpmap normalmap hair polarizer retarder circular pplastic".split())
+@pytest.mark.parametrize("b", "diffuse dielectric thindielectric roughdielectric conductor roughconductor plastic roughplastic principled principledthin principled_thin blendbsdf mask null twosided bumpmap normalmap hair polarizer retarder circular pplastic".split())
 def test_bsdfs(b):
     d = base()
     bs = {"type": b}
