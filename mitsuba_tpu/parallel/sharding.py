@@ -84,6 +84,28 @@ def _lane_render(scene, seed, lane0, n_local, spp, sensor):
     return L
 
 
+def _mesh_spans_processes(mesh):
+    """True when the mesh contains devices owned by other processes (a
+    multi-host run entered via init_distributed)."""
+    me = jax.process_index()
+    return any(d.process_index != me for d in mesh.devices.flat)
+
+
+def _to_global(mesh, spec, x):
+    """Lift a host-local value to a global jax.Array over a (possibly
+    multi-process) mesh: every process supplies the shards it addresses,
+    sliced from the full logical value (which each host can construct —
+    scene parameters are replicated state, lane/target partitions are pure
+    arithmetic).  The multi-host analog of jax.device_put."""
+    import numpy as np
+    from jax.sharding import NamedSharding
+
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(
+        arr.shape, NamedSharding(mesh, spec), lambda idx: arr[idx]
+    )
+
+
 def grad_step_sharded(scene, mesh, param_paths, target, seed=0, spp=None, sensor=0):
     """Distributed inverse-rendering gradient: forward + backward with the
     wavefront sharded over chips and parameter gradients psum-reduced over
@@ -128,6 +150,12 @@ def grad_step_sharded(scene, mesh, param_paths, target, seed=0, spp=None, sensor
         out_specs=(P(), P()),
         check_vma=False,
     )
+    if _mesh_spans_processes(mesh):
+        # multi-host: jit over a cross-process mesh needs global jax.Arrays
+        theta0 = tuple(_to_global(mesh, P(), t) for t in theta0)
+        scene = jax.tree_util.tree_map(partial(_to_global, mesh, P()), scene)
+        lane_starts = _to_global(mesh, P("rays"), lane_starts)
+        target = _to_global(mesh, P("rays"), target)
     return jax.jit(shard_fn)(theta0, scene, lane_starts, target)
 
 
@@ -225,27 +253,10 @@ def sharded_step_has_allreduce(scene, mesh, param_paths, target, seed=0,
     return ("all-reduce" in hlo) or ("all_reduce" in hlo)
 
 
-def init_distributed(coordinator_address=None, num_processes=None, process_id=None,
-                     local_device_ids=None):
-    """Multi-host entry point (the reference is single-process; this is the
-    TPU-pod analog).  Call once per host before building a mesh; afterwards
-    jax.devices() spans every host's chips and make_mesh() shards the
-    wavefront across the full pod — collectives ride ICI within a slice and
-    DCN across slices.
-
-    Args mirror jax.distributed.initialize; under a TPU pod runtime all can
-    be None (auto-discovered from the environment)."""
-    kwargs = {}
-    if coordinator_address is not None:
-        kwargs["coordinator_address"] = coordinator_address
-    if num_processes is not None:
-        kwargs["num_processes"] = num_processes
-    if process_id is not None:
-        kwargs["process_id"] = process_id
-    if local_device_ids is not None:
-        kwargs["local_device_ids"] = local_device_ids
-    jax.distributed.initialize(**kwargs)
-    return jax.devices()
+# Multi-host entry point — lives in parallel/distributed.py (a
+# dependency-free module importable BEFORE the package initializes the XLA
+# backend); re-exported here for API continuity.
+from .distributed import init_distributed  # noqa: E402, F401
 
 
 def render_sharded_multipass(scene, mesh, seed=0, spp=None, spp_per_pass=None,
