@@ -44,10 +44,61 @@ def _sample_emitter_ray(scene, u_sel, u_pos, u_dir, wavelengths):
     d = jnp.tile(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), (n, 1))
     weight = jnp.zeros((n, nc), jnp.float32)
     n_emit = jnp.tile(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), (n, 1))
+    # per-lane emission data for the depth-0 emitter->camera connection:
+    # radiance at the emission point and 1/pdf_pos (area measure); 0 for
+    # delta-position or collimated emitters (no camera connection)
+    rad0 = jnp.zeros((n, nc), jnp.float32)
+    inv_ppos = jnp.zeros((n,), jnp.float32)
+
+    from ..render.emitters import AreaEmitterArray
 
     for i, em in enumerate(scene.emitters):
         m = sel == i
-        if hasattr(em, "tri_index"):          # area emitter
+        if isinstance(em, AreaEmitterArray):   # fused many-area-light group
+            geom = scene.geometry
+            T = em.tri_index.shape[0]
+            u = u_pos[..., 0]
+            k = jnp.clip(
+                jnp.searchsorted(em.tri_cdf, u, side="right",
+                                 method="compare_all" if T <= 4096 else "scan"),
+                0, T - 1,
+            ).astype(jnp.int32)
+            cdf_lo = jnp.concatenate([jnp.zeros((1,), jnp.float32), em.tri_cdf[:-1]])
+            tbl = jnp.concatenate(
+                [
+                    geom.tri_v0[em.tri_index], geom.tri_e1[em.tri_index],
+                    geom.tri_e2[em.tri_index], geom.tri_ng[em.tri_index],
+                    cdf_lo[:, None], em.tri_cdf[:, None],
+                    em.tri_light.astype(jnp.float32)[:, None],
+                    em.area_pdf[em.tri_light][:, None],
+                ],
+                axis=-1,
+            )
+            row = lookup_rows(tbl, k)
+            v0, e1 = row[..., 0:3], row[..., 3:6]
+            e2, ng = row[..., 6:9], row[..., 9:12]
+            lo = row[..., 12]
+            seg = jnp.maximum(row[..., 13] - lo, 1e-20)
+            light = row[..., 14].astype(jnp.int32)
+            p_area = jnp.maximum(row[..., 15], 1e-20)
+            u0r = jnp.clip((u - lo) / seg, 0.0, 1.0)
+            bary = warp.square_to_uniform_triangle(
+                jnp.stack([u0r, u_pos[..., 1]], axis=-1)
+            )
+            p_i = v0 + bary[..., 0:1] * e1 + bary[..., 1:2] * e2
+            rad = em._value_rows(light, wavelengths, nc)
+            local = warp.square_to_cosine_hemisphere(u_dir)
+            s_ax, t_ax = coordinate_system(ng)
+            d_i = local[..., 0:1] * s_ax + local[..., 1:2] * t_ax + local[..., 2:3] * ng
+            # weight = Le * pi / pdf_pos (cosine-direction pdf cancels cos/pi)
+            w_i = rad * (np.pi / p_area)[..., None]
+            p = jnp.where(m[..., None], p_i, p)
+            d = jnp.where(m[..., None], d_i, d)
+            n_emit = jnp.where(m[..., None], ng, n_emit)
+            weight = jnp.where(m[..., None], w_i, weight)
+            rad0 = jnp.where(m[..., None], rad, rad0)
+            inv_ppos = jnp.where(m, 1.0 / p_area, inv_ppos)
+        elif hasattr(em, "tri_index"):          # area emitter
             scaled = u_pos[..., 0] * em.total_area
             k = jnp.clip(
                 jnp.searchsorted(em.tri_cdf, scaled, side="right", method="compare_all"), 0,
@@ -92,6 +143,9 @@ def _sample_emitter_ray(scene, u_sel, u_pos, u_dir, wavelengths):
             d = jnp.where(m[..., None], d_i, d)
             n_emit = jnp.where(m[..., None], ng, n_emit)
             weight = jnp.where(m[..., None], w_i, weight)
+            if not getattr(em, "is_directional_area", False):
+                rad0 = jnp.where(m[..., None], rad, rad0)
+                inv_ppos = jnp.where(m, em.total_area, inv_ppos)
         elif hasattr(em, "position"):          # point emitter
             d_i = warp.square_to_uniform_sphere(u_dir)
             inten = em.intensity.eval(jnp.zeros((n, 2)), wavelengths, nc)
@@ -104,7 +158,7 @@ def _sample_emitter_ray(scene, u_sel, u_pos, u_dir, wavelengths):
         # contribution dominates through the camera path; reference ptracer
         # likewise connects the sensor separately)
     weight = weight * E
-    return p, d, n_emit, weight
+    return p, d, n_emit, weight, rad0, inv_ppos * E
 
 
 def connect_to_camera(scene, film, sensor, p, f_val, active):
@@ -161,41 +215,38 @@ class PTracerIntegrator:
         u_sel, u_p0, rng = _next2(rng)
         u_p1, u_d0, rng = _next2(rng)
         u_d1, _, rng = _next2(rng)
-        p0, d0, n_emit, alpha = _sample_emitter_ray(
+        p0, d0, n_emit, alpha, rad0, inv_ppos = _sample_emitter_ray(
             scene, u_sel, jnp.stack([u_p0, u_p1], axis=-1),
             jnp.stack([u_d0, u_d1], axis=-1), wavelengths,
         )
 
         image = jnp.zeros((film.width * film.height, nc), jnp.float32)
 
-        # direct emitter -> camera connection (depth 0): radiance toward the
-        # camera from the emission point
-        for i, em in enumerate(scene.emitters):
-            if not hasattr(em, "tri_index"):
-                continue
-            sel_m = alpha[..., 0] >= 0  # all lanes; emission eval below masks
-            to_cam = normalize(sensor.to_world_m[:3, 3] - p0)
-            cos_e = jnp.maximum(dot(n_emit, to_cam), 0.0)
-            rad = em.radiance.eval(jnp.zeros((n, 2)), wavelengths, nc)
-            # visibility
-            sray = spawn_ray(p0, n_emit, to_cam)
-            dist_cam = jnp.sqrt(
-                jnp.sum((sensor.to_world_m[:3, 3] - p0) ** 2, axis=-1)
-            )
-            si_occ = scene.ray_intersect(sray, sel_m)
-            vis = ~(si_occ.is_valid & (si_occ.t < dist_cam * (1 - 1e-3)))
-            # measurement contribution of emitted radiance: area-sampled
-            # vertex with pdf 1/A -> weight A * cos_e * rad / ... (the
-            # standard W_e connection with f = rad * cos_e / pi * pi)
-            pix, contrib, valid, _, _ = connect_to_camera(
-                scene, film, sensor, p0,
-                rad * cos_e[..., None] * (em.total_area * scene.n_emitters),
-                sel_m & vis & (cos_e > 0),
-            )
-            image = image + jax.ops.segment_sum(
-                jnp.where(valid[..., None], contrib, 0.0), pix,
-                num_segments=film.width * film.height,
-            )
+        # direct emitter -> camera connection (depth 0): each particle's OWN
+        # emission point/radiance (per-lane rad0 and 1/pdf_pos from
+        # _sample_emitter_ray; one connection regardless of light count —
+        # the previous per-emitter loop overcounted multi-area-light scenes)
+        sel_m = inv_ppos > 0
+        to_cam = normalize(sensor.to_world_m[:3, 3] - p0)
+        cos_e = jnp.maximum(dot(n_emit, to_cam), 0.0)
+        sray = spawn_ray(p0, n_emit, to_cam)
+        dist_cam = jnp.sqrt(
+            jnp.sum((sensor.to_world_m[:3, 3] - p0) ** 2, axis=-1)
+        )
+        si_occ = scene.ray_intersect(sray, sel_m)
+        vis = ~(si_occ.is_valid & (si_occ.t < dist_cam * (1 - 1e-3)))
+        # measurement contribution of emitted radiance: area-sampled vertex
+        # with pdf p_pos -> weight rad * cos_e / p_pos (the standard W_e
+        # connection with f = rad * cos_e)
+        pix, contrib, valid, _, _ = connect_to_camera(
+            scene, film, sensor, p0,
+            rad0 * (cos_e * inv_ppos)[..., None],
+            sel_m & vis & (cos_e > 0),
+        )
+        image = image + jax.ops.segment_sum(
+            jnp.where(valid[..., None], contrib, 0.0), pix,
+            num_segments=film.width * film.height,
+        )
 
         state = dict(
             depth=jnp.asarray(0, jnp.int32),

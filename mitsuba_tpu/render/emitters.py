@@ -117,6 +117,129 @@ class AreaEmitter:
 
 
 @struct.dataclass
+class AreaEmitterArray:
+    """Many mesh area lights fused into ONE SoA emitter instance — the
+    area-light twin of PointEmitterArray (VERDICT r4 item 7).  The reference
+    dispatches per-plugin vcalls whose wavefront analog costs O(#lights)
+    masked evaluations per lane (scene.cpp:299-353); here triangle selection
+    is one power-weighted inverse-CDF over the UNION of all fused lights'
+    triangles, the chosen triangle's geometry+metadata row is fetched with
+    one MXU one-hot lookup, and the radiance table [K, Cv] stays a single
+    differentiable leaf — per-lane NEE cost is O(1) in the light count.
+
+    Selection density: triangle t of light k is picked with probability
+    area_t * lum_k / Z (Z = sum over all fused triangles), i.e. the area
+    pdf of a sampled point is lum_k / Z — uniform within each light, power-
+    weighted between lights (the fused analog of the reference's
+    m_emitter_distr, scene.cpp:238-250).  Selection weights are detached."""
+
+    values: jnp.ndarray            # [K, Cv] constant radiance rows (diff leaf)
+    tri_index: jnp.ndarray         # [T] int32 triangle ids (geometry order)
+    tri_light: jnp.ndarray         # [T] int32 internal light id per triangle
+    tri_cdf: jnp.ndarray           # [T] selection cdf, normalized to 1 (detached)
+    area_pdf: jnp.ndarray          # [K] per-unit-area pdf lum_k / Z (detached)
+    shape_to_light: jnp.ndarray    # [n_shapes] int32 internal id, -1 = none
+    total_power: jnp.ndarray = 1.0  # scalar pi * sum_k area_k * lum_k (detached)
+
+    is_environment = False
+    is_delta = False
+
+    def _value_rows(self, k, wavelengths, n_channels):
+        from .textures import _to_channels
+
+        val = lookup_rows(self.values, k)
+        return _to_channels(val, n_channels, wavelengths, True)
+
+    def _light_of(self, si):
+        shape_idx = jnp.maximum(si.shape_index, 0)
+        tbl = self.shape_to_light
+        k = tbl[shape_idx] if tbl.shape[0] > 64 else lookup_rows(
+            tbl.astype(jnp.float32)[:, None], shape_idx
+        )[:, 0].astype(jnp.int32)
+        return jnp.where(si.shape_index >= 0, k, -1)
+
+    def eval(self, si, wavelengths, n_channels):
+        k = self._light_of(si)
+        front = (si.wi[..., 2] > 0) & (k >= 0)
+        val = self._value_rows(jnp.maximum(k, 0), wavelengths, n_channels)
+        return jnp.where(front[..., None], val, 0.0)
+
+    def sample_direction(self, ref_p, u2, geom, wavelengths, n_channels, emitter_index):
+        n_lanes = ref_p.shape[0]
+        T = self.tri_index.shape[0]
+        u = u2[..., 0]
+        t = jnp.clip(
+            jnp.searchsorted(self.tri_cdf, u, side="right",
+                             method="compare_all" if T <= 4096 else "scan"),
+            0, T - 1,
+        ).astype(jnp.int32)
+        # packed per-triangle row: geometry (read from geom at use so vertex
+        # gradients flow), cdf segment, light id, area pdf — ONE lookup
+        cdf_lo = jnp.concatenate([jnp.zeros((1,), jnp.float32), self.tri_cdf[:-1]])
+        tbl = jnp.concatenate(
+            [
+                geom.tri_v0[self.tri_index], geom.tri_e1[self.tri_index],
+                geom.tri_e2[self.tri_index], geom.tri_ng[self.tri_index],
+                cdf_lo[:, None], self.tri_cdf[:, None],
+                self.tri_light.astype(jnp.float32)[:, None],
+                self.area_pdf[self.tri_light][:, None],
+            ],
+            axis=-1,
+        )  # [T, 16]
+        row = lookup_rows(tbl, t)
+        v0, e1, e2, ng = row[..., 0:3], row[..., 3:6], row[..., 6:9], row[..., 9:12]
+        lo = row[..., 12]
+        seg = jnp.maximum(row[..., 13] - lo, 1e-20)
+        k = row[..., 14].astype(jnp.int32)
+        p_area = row[..., 15]
+        u0r = jnp.clip((u - lo) / seg, 0.0, 1.0)
+        bary = warp.square_to_uniform_triangle(jnp.stack([u0r, u2[..., 1]], axis=-1))
+        p = v0 + bary[..., 0:1] * e1 + bary[..., 1:2] * e2
+
+        to_p = p - ref_p
+        dist2 = jnp.sum(to_p * to_p, axis=-1)
+        dist = jnp.sqrt(jnp.maximum(dist2, 1e-20))
+        d = to_p / dist[..., None]
+        cos_e = -dot(d, ng)
+        valid = cos_e > 1e-6
+        pdf = jnp.where(
+            valid, dist2 * p_area / jnp.where(valid, cos_e, 1.0), 0.0
+        )
+        val = self._value_rows(k, wavelengths, n_channels)
+        pos = pdf > 0
+        weight = jnp.where(
+            pos[..., None], val / jnp.where(pos, pdf, 1.0)[..., None], 0.0
+        )
+        # uv carries the internal light id for eval_sample_value (constant
+        # radiance rows have no texture coordinate to preserve)
+        uv = jnp.stack([k.astype(jnp.float32), jnp.zeros((n_lanes,))], axis=-1)
+        ds = _ds(p, ng, d, dist, pdf, False, emitter_index, n_lanes, uv=uv)
+        return ds, weight
+
+    def eval_sample_value(self, ds, wavelengths, n_channels):
+        """Differentiable radiance of the light recorded in ds.uv[...,0]
+        (PRB attached recompute, scene.eval_emitter_sample)."""
+        return self._value_rows(ds.uv[..., 0].astype(jnp.int32), wavelengths,
+                                n_channels)
+
+    def pdf_direction(self, ref_p, si):
+        """Solid-angle NEE pdf of the fused group for a hit on one of its
+        lights (internal selection included; the scene-level group pmf is
+        applied by the caller, scene.pdf_emitter_direction_hit)."""
+        k = self._light_of(si)
+        p_area = lookup_rows(self.area_pdf[:, None], jnp.maximum(k, 0))[:, 0]
+        to_p = si.p - ref_p
+        dist2 = jnp.sum(to_p * to_p, axis=-1)
+        ok = (dist2 > 1e-18) & (k >= 0)
+        d = to_p * jax.lax.rsqrt(jnp.where(ok, dist2, 1.0))[..., None]
+        cos_e = -dot(d, si.n)
+        valid = ok & (cos_e > 1e-6)
+        return jnp.where(
+            valid, dist2 * p_area / jnp.where(valid, cos_e, 1.0), 0.0
+        )
+
+
+@struct.dataclass
 class SphereAreaEmitter:
     """Diffuse area light on an analytic sphere with EXACT solid-angle cone
     sampling (reference: src/shapes/sphere.cpp sample_direction — uniform

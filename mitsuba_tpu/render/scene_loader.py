@@ -649,6 +649,7 @@ def load_dict(d):
     # m_emitter_distr, scene.cpp:238-250): "uniform" (default) | "power"
     emitter_sampler = d.pop("emitter_sampler", "uniform")
     fuse_point_lights = d.pop("fuse_point_lights", None)  # None = auto (>4)
+    fuse_area_lights = d.pop("fuse_area_lights", None)    # None = auto (>4)
     d = _expand_instances(d)
 
     sampler_type = "independent"
@@ -1024,6 +1025,76 @@ def load_dict(d):
         )
         shape_records[shape_index]["emitter"] = e_idx
 
+    # many-light fast path: fuse >4 constant-radiance mesh area lights into
+    # one SoA AreaEmitterArray (see its docstring) — NEE cost becomes O(1)
+    # in the light count (reference vcall dispatch analog: scene.cpp:299-353)
+    area_idx = [
+        i for i, em in enumerate(emitters)
+        if type(em) is E.AreaEmitter and type(em.radiance) is TX.ConstantTexture
+        and em.tri_index.shape[0] > 0
+    ]
+    do_fuse_area = (len(area_idx) > 4) if fuse_area_lights is None else (
+        fuse_area_lights and len(area_idx) > 1
+    )
+    if do_fuse_area:
+        fused_set = set(area_idx)
+        remap = {}
+        new_emitters = []
+        for i, em in enumerate(emitters):
+            if i in fused_set:
+                continue
+            remap[i] = len(new_emitters)
+            new_emitters.append(em)
+        g_idx = len(new_emitters)
+
+        values, tri_ids, tri_light, tri_w, lums = [], [], [], [], []
+        shape_to_light = np.full(max(len(shape_records), 1), -1, np.int32)
+        for k, i in enumerate(area_idx):
+            em = emitters[i]
+            v = np.asarray(em.radiance.value, np.float32)
+            v3 = np.repeat(v, 3) if v.shape == (1,) else v
+            values.append(v3)
+            lum = max(float(v3.mean()), 1e-12)
+            lums.append(lum)
+            cdf = np.asarray(em.tri_cdf, np.float32)
+            areas = np.diff(np.concatenate([[0.0], cdf]))
+            tri_ids.append(np.asarray(em.tri_index, np.int32))
+            tri_light.append(np.full(areas.shape[0], k, np.int32))
+            tri_w.append(areas * lum)
+            shape_to_light[em.shape_index] = k
+        w = np.concatenate(tri_w)
+        Z = max(float(w.sum()), 1e-30)
+        new_emitters.append(
+            E.AreaEmitterArray(
+                values=jnp.asarray(np.stack(values)),
+                tri_index=jnp.asarray(np.concatenate(tri_ids)),
+                tri_light=jnp.asarray(np.concatenate(tri_light)),
+                tri_cdf=jnp.asarray(np.cumsum(w) / Z, jnp.float32),
+                area_pdf=jnp.asarray(np.asarray(lums) / Z, jnp.float32),
+                shape_to_light=jnp.asarray(shape_to_light),
+                total_power=jnp.asarray(np.pi * Z, jnp.float32),
+            )
+        )
+        # remap per-shape emitter slots and existing parameter paths
+        inv_area = {i: k for k, i in enumerate(area_idx)}
+        for rec in shape_records:
+            e = rec["emitter"]
+            if e < 0:
+                continue
+            rec["emitter"] = g_idx if e in fused_set else remap[e]
+        new_paths = []
+        for key, path in param_paths:
+            if path and path[0] == "emitters":
+                old = path[1]
+                if old in fused_set:
+                    k = inv_area[old]
+                    path = ("emitters", g_idx, "values", ("slice", k, k + 1))
+                else:
+                    path = ("emitters", remap[old]) + tuple(path[2:])
+            new_paths.append((key, path))
+        param_paths = new_paths
+        emitters = new_emitters
+
     # many-light fast path: fuse >4 constant-intensity point lights into one
     # SoA PointEmitterArray (see emitters.PointEmitterArray docstring)
     def _bakeable_point(spec):
@@ -1266,6 +1337,8 @@ def _emitter_power(em, scene_radius, geometry=None):
         return 4.0 * np.pi * float(np.sum(np.mean(np.asarray(em.values), axis=-1)))
     if isinstance(em, (E.AreaEmitter, E.DirectionalAreaEmitter)):
         return float(np.pi * float(em.total_area) * tex_mean(em.radiance))
+    if isinstance(em, E.AreaEmitterArray):
+        return float(em.total_power)
     if isinstance(em, E.SphereAreaEmitter):
         r_s = float(np.asarray(geometry.sph_radius)[em.sphere_index]) if geometry is not None else 1.0
         area = 4.0 * np.pi * r_s ** 2

@@ -149,3 +149,95 @@ def test_power_sampling_mis_consistent():
     a = np.asarray(mi.render(mi.load_dict(base), spp=256, seed=0))
     b = np.asarray(mi.render(mi.load_dict(pwr), spp=256, seed=3))
     np.testing.assert_allclose(a.mean(axis=(0, 1)), b.mean(axis=(0, 1)), rtol=0.05)
+
+
+# ---------------------------------------------------------------------------
+# Fused mesh area lights (AreaEmitterArray — VERDICT r4 item 7)
+# ---------------------------------------------------------------------------
+
+def _panel_lights(k=4, z=3.0):
+    out = {}
+    for i in range(k):
+        for j in range(k):
+            x = -1.2 + 2.4 * i / (k - 1)
+            y = -1.2 + 2.4 * j / (k - 1)
+            out[f"al_{i}_{j}"] = {
+                "type": "rectangle",
+                "to_world": [
+                    {"type": "scale", "value": 0.18},
+                    {"type": "rotate", "axis": [1, 0, 0], "angle": 180},
+                    {"type": "translate", "value": [x, y, z]},
+                ],
+                "emitter": {
+                    "type": "area",
+                    "radiance": [2.0 + i, 2.0 + j, 2.0],
+                },
+            }
+    return out
+
+
+def test_fused_area_array_matches_individual_lights():
+    """16 mesh area lights fuse into ONE emitter instance whose render
+    matches the 16-instance estimator (same expectation; MIS at emitter hits
+    included via max_depth=2 path)."""
+    lights = _panel_lights(4)
+    s_fused = mi.load_dict(_floor_scene(lights))
+    s_indiv = mi.load_dict(_floor_scene(lights, fuse_area_lights=False))
+    from mitsuba_tpu.render.emitters import AreaEmitterArray
+
+    assert len(s_fused.emitters) == 1
+    assert isinstance(s_fused.emitters[0], AreaEmitterArray)
+    assert len(s_indiv.emitters) == 16
+    a = np.asarray(mi.render(s_fused, spp=96, seed=0))
+    b = np.asarray(mi.render(s_indiv, spp=96, seed=1))
+    np.testing.assert_allclose(a.mean(axis=(0, 1)), b.mean(axis=(0, 1)), rtol=0.04)
+    err = np.abs(a - b).mean() / max(b.mean(), 1e-6)
+    assert err < 0.2, err
+
+
+def test_fused_area_array_per_light_params_and_grads():
+    """Each light keeps its traverse key (remapped to a row of the fused
+    radiance table); gradients flow per light and match the
+    individual-instance estimator."""
+    lights = _panel_lights(4)
+    scene = mi.load_dict(_floor_scene(lights))
+    from mitsuba_tpu.render.params import _tree_get, _tree_set
+
+    key = "al_1_2.emitter.radiance.value"
+    paths = dict(scene.param_paths)
+    assert key in paths
+    path = paths[key]
+
+    def loss(v):
+        return mi.render(_tree_set(scene, path, v), spp=48, seed=2).mean()
+
+    v0 = _tree_get(scene, path)
+    g = np.asarray(jax.grad(loss)(v0))
+    assert np.isfinite(g).all() and np.abs(g).sum() > 0
+
+    s_ind = mi.load_dict(_floor_scene(_panel_lights(4), fuse_area_lights=False))
+    p_ind = dict(s_ind.param_paths)[key]
+
+    def loss_ind(v):
+        return mi.render(_tree_set(s_ind, p_ind, v), spp=96, seed=5).mean()
+
+    g_ind = np.asarray(jax.grad(loss_ind)(_tree_get(s_ind, p_ind)))
+    np.testing.assert_allclose(g.ravel(), g_ind.ravel(), rtol=0.15)
+
+
+def test_fused_area_array_ptracer():
+    """Particle tracing samples emitter rays from the fused union CDF."""
+    lights = _panel_lights(3)
+    d = _floor_scene(lights, fuse_area_lights=True)
+    d["integrator"] = {"type": "ptracer", "max_depth": 2}
+    s = mi.load_dict(d)
+    from mitsuba_tpu.render.emitters import AreaEmitterArray
+
+    assert isinstance(s.emitters[0], AreaEmitterArray)
+    img = np.asarray(mi.render(s, spp=32, seed=0))
+    assert np.isfinite(img).all() and img.mean() > 0
+
+    d2 = _floor_scene(lights, fuse_area_lights=False)
+    d2["integrator"] = {"type": "ptracer", "max_depth": 2}
+    ref = np.asarray(mi.render(mi.load_dict(d2), spp=64, seed=3))
+    np.testing.assert_allclose(img.mean(), ref.mean(), rtol=0.08)
