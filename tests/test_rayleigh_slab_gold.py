@@ -89,17 +89,38 @@ def test_single_scatter_stokes(tau, theta):
     assert Q < 0, Q
 
 
-def test_multiple_scattering_exceeds_single():
-    """Sanity: adding scattering orders raises I and lowers DoLP."""
+@pytest.mark.parametrize("tau,theta", [(0.25, 60.0), (0.5, 40.0)])
+def test_multiple_scattering_vs_adding_doubling(tau, theta):
+    """Multi-scatter polarized gold: the full Monte Carlo transport (all
+    scattering orders) must reproduce the deterministic adding-doubling
+    solution of the same conservative Rayleigh slab — the problem the
+    Coulson-Dave-Sekera (1960) tables tabulate (utils/doubling.py docstring;
+    the doubling method reproduces those tables to publication precision and
+    is algorithmically independent of the path tracer).  Replaces the r4
+    monotonicity-only check (VERDICT r4 item 4)."""
+    from mitsuba_tpu.utils.doubling import doubling_slab
+
+    mu = float(np.cos(np.radians(theta)))
+    ref = doubling_slab(tau, [mu], n_gauss=24, nphi=64)
+    I_ref, Q_ref = [float(x) for x in ref["trans"][0]]
+    # solver self-check: conservative slab conserves flux
+    assert abs(ref["flux_refl"] + ref["flux_trans_diffuse"] + ref["e"] - 1.0) < 1e-4
+
     mi.set_variant("mono_polarized")
-    s1 = np.asarray(
-        mi.render_1(mi.load_dict(_scene(0.5, 50.0, max_depth=2)), spp=8192, seed=2)
-    ).mean(axis=-1)
-    s8 = np.asarray(
-        mi.render_1(mi.load_dict(_scene(0.5, 50.0, max_depth=16)), spp=8192, seed=2)
+    spec = np.asarray(
+        mi.render_1(mi.load_dict(_scene(tau, theta, max_depth=64)),
+                    spp=16384, seed=3)
     ).mean(axis=-1)
     mi.set_variant("rgb")
-    assert s8[0] > s1[0] * 1.05
-    dolp1 = abs(s1[1]) / s1[0]
-    dolp8 = abs(s8[1]) / s8[0]
-    assert dolp8 < dolp1
+    I, Q, U, V = [float(s) for s in spec]
+
+    assert abs(I - I_ref) / I_ref < 0.03, (I, I_ref)
+    assert abs(Q - Q_ref) / I_ref < 0.02, (Q, Q_ref, I_ref)
+    dolp_ref = abs(Q_ref) / I_ref
+    assert abs(abs(Q) / I - dolp_ref) < 0.02, (abs(Q) / I, dolp_ref)
+    assert abs(U) / I < 0.02 and abs(V) / I < 0.01
+    # and the multi-scatter solution differs measurably from single
+    # scattering (the r4 test only asserted this direction; now it's exact)
+    p = 3.0 / (16.0 * np.pi) * (1.0 + mu * mu)
+    L1 = tau * p * np.exp(-tau) * (np.exp(tau * (mu - 1) / mu) - 1) / (tau * (mu - 1))
+    assert I_ref > L1 * 1.05
