@@ -17,7 +17,13 @@ INF = jnp.inf
 
 
 def safe_sqrt(x):
-    return jnp.sqrt(jnp.maximum(x, 0.0))
+    """sqrt clamped at 0 with a FINITE derivative everywhere: the naive
+    sqrt(max(x, 0)) has d/dx = inf at x = 0, which poisons reverse-mode
+    chains (0 * inf = NaN) wherever a masked lane lands exactly on the clamp
+    (e.g. the VNDF sampler's p3 = sqrt(1 - p1^2 - p2^2) at the disk rim).
+    The where() keeps the primal bit-identical for x > 1e-12 and pins both
+    value and derivative to 0 on the clamped branch."""
+    return jnp.where(x > 0, jnp.sqrt(jnp.maximum(x, 1e-12)), 0.0)
 
 
 def safe_rsqrt(x):

@@ -133,9 +133,20 @@ def make_integrator(spec):
         from ..ad.projective import ProjectiveIntegrator
 
         if current_variant().polarized:
-            raise ValueError("projective integrators support unpolarized "
-                             "variants (mono/rgb) for now")
-        if t == "direct_projective":
+            # polarized boundary gradients (VERDICT r4 item 3): the curve
+            # integrand dL becomes a Stokes vector; the primal/replay base is
+            # the Mueller PRB (reference: PSIntegrator is variant-generic)
+            if t == "direct_projective":
+                raise ValueError(
+                    "direct_projective is unpolarized; use prb_projective "
+                    "in *_polarized variants"
+                )
+            from ..ad.prb_polarized import PRBPolarizedVolpathIntegrator
+
+            base = PRBPolarizedVolpathIntegrator(
+                max_depth=max_depth, rr_depth=rr_depth, hide_emitters=hide
+            )
+        elif t == "direct_projective":
             from .direct import DirectIntegrator
 
             base = DirectIntegrator()
@@ -149,6 +160,7 @@ def make_integrator(spec):
             base=base,
             sppp=int(spec.get("sppp", 4)),
             sppi=int(spec.get("sppi", 4)),
+            boundary_depth=int(spec.get("boundary_depth", 0)),
         )
     if t == "ptracer":
         from .ptracer import PTracerIntegrator

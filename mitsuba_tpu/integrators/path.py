@@ -49,7 +49,11 @@ class PathIntegrator:
             self, scene, seed, spp, sensor_idx, record_samples=record_samples
         )
 
-    def sample(self, scene, rng, ray, wavelengths, active):
+    def sample(self, scene, rng, ray, wavelengths, active, depth_limit=None):
+        """`depth_limit` (optional [N] int32) caps each lane's path depth
+        below the static max_depth — used by the projective indirect pass,
+        whose depth-k boundary seeds need probe radiance carrying exactly
+        the primal's REMAINING depth per lane (ad/projective.py)."""
         n = ray.o.shape[0]
         nc = scene.n_channels
         max_depth = self.max_depth if self.max_depth > 0 else 1024
@@ -129,6 +133,8 @@ class PathIntegrator:
             )
 
             active_next = s["active"] & si.is_valid & (s["depth"] + 1 < max_depth)
+            if depth_limit is not None:
+                active_next &= s["depth"] + 1 < depth_limit
 
             # ---- NEE (reference: path.cpp sample_emitter_direction block) ----
             u0, u2a_x, rng = _next2(rng)

@@ -30,6 +30,27 @@ computation were each within noise or slower (the kernel is VPU-instruction
 row forms, ~25% fewer ops on paper) lowered to ~20% SLOWER code than the
 Möller–Trumbore tile (worse fma/broadcast mix); leaf widths 16/32/128 and
 NWIN 16/64 all lost to the 64/32 defaults.
+
+Round-5 negative results (scripts/bench_ablate.py decomposition; sorted-
+incoherent 2^18-ray launches, full = 78-86 ms):
+  * at-append DMA starts with RING == LFLUSH per-leaf slots (start each
+    leaf's copy the moment the scalar walk lists it): 3.35 -> 3.06 Mrays/s
+    — slower, and LFLUSH 4/8/16 within noise of each other;
+  * 8-tris-per-row PACKED HBM table (4.6 KB instead of 36.9 KB per leaf
+    window): Mosaic cannot shape-cast [1, 128] lanes into [8, 16] sublanes,
+    and the exact one-hot-MXU unpack replacement ran 26x slower (tiny
+    serialized matmuls breaking the VPU pipeline); a [T, 16] HBM table is
+    silently lane-padded to [T, 128] anyway, so there is no compact layout;
+  * wait-all-then-sweep-all flush ordering: no change.
+Decomposition mystery, documented for the next attempt: `dmaonly` (real
+walk + starts + waits, sweeps skipped) costs only ~4.6 ms over `nosweep`,
+and `nodma` (sweeps on stale buffers, no DMA) runs 24 ms — yet the full
+kernel runs 81-86 ms.  The parts sum to well under the whole; the residual
+~50 ms only appears when real DMA data feeds the sweeps, so the suspected
+cost is Mosaic scheduling around the DMA-written leaf_buf (nodma's stale
+buffer is loop-invariant and its sweep code likely collapses under CSE,
+making that ablation an underestimate).  scripts/roofline_bvh.py carries
+the speed-of-light model these numbers are judged against.
 """
 from __future__ import annotations
 

@@ -285,10 +285,23 @@ class RoughConductorBSDF:
     flags_smooth = True
     flags_transmission = False
 
+    @staticmethod
+    def _half(wi, wo, valid):
+        """NaN-safe half vector: masked lanes (where wi + wo can vanish,
+        e.g. wo == -wi) evaluate at +z so the normalize never divides by ~0
+        — a bare where() would still leak NaN through the vjp of the
+        unselected branch (the where-where pattern)."""
+        hsum = jnp.where(
+            valid[..., None], wi + wo,
+            jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], wi.dtype), wi.shape),
+        )
+        return normalize(hsum)
+
     def _f(self, si, wo, wavelengths, n_channels):
         cos_i = si.wi[..., 2]
         cos_o = wo[..., 2]
-        h = normalize(si.wi + wo)
+        valid = (cos_i > 0) & (cos_o > 0)
+        h = self._half(si.wi, wo, valid)
         d = mf.ggx_d(h, self.alpha_u, self.alpha_v)
         g = mf.ggx_g(si.wi, wo, h, self.alpha_u, self.alpha_v)
         f = fresnel_conductor(
@@ -296,7 +309,6 @@ class RoughConductorBSDF:
         )
         f = jnp.broadcast_to(f, f.shape[:-1] + (n_channels,))
         spec = (d * g / jnp.maximum(4.0 * cos_i, 1e-9))[..., None] * f
-        valid = (cos_i > 0) & (cos_o > 0)
         return jnp.where(valid[..., None], spec, 0.0), h, valid
 
     def eval(self, si, wo, wavelengths, n_channels):
@@ -306,8 +318,8 @@ class RoughConductorBSDF:
         return val * refl
 
     def pdf(self, si, wo):
-        h = normalize(si.wi + wo)
         valid = (si.wi[..., 2] > 0) & (wo[..., 2] > 0)
+        h = self._half(si.wi, wo, valid)
         pdf_h = mf.ggx_pdf_visible(si.wi, h, self.alpha_u, self.alpha_v)
         jac = 1.0 / jnp.maximum(4.0 * jnp.abs(jnp.sum(wo * h, axis=-1)), 1e-9)
         return jnp.where(valid, pdf_h * jac, 0.0)

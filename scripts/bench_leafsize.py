@@ -1,8 +1,5 @@
-"""Decompose the BVH sweep kernel's cost on TPU: full vs nosweep (window
-tests + scalar walk only) vs nodma (sweeps without DMA waits), on tiled
-(primary-like) and sorted-incoherent (bounce-like) wavefronts.  Feeds the
-speed-of-light model (scripts/roofline_bvh.py).  Run alone on the TPU;
-MI_BVH_ABLATE is read at import, so each ablation runs in a subprocess."""
+"""A/B the full kernel across leaf sizes / flush depths on TPU (each config
+in a subprocess: MI_BVH_* are read at import)."""
 import os
 import subprocess
 import sys
@@ -12,7 +9,7 @@ sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/scripts")
 
 
-def worker(ablate):
+def worker():
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -43,8 +40,9 @@ def worker(ablate):
         c, _ = jax.lax.scan(once, (jnp.int32(0), jo, jd), k_dummy)
         return c[0]
 
-    modes = os.environ.get("MI_BENCH_MODES", "tiled,sorted").split(",")
-    for mode in modes:
+    tag = (f"leaf={BS.MAX_WIDE_LEAF} lflush={BS.LFLUSH} nwin={BS.NWIN} "
+           f"nodes={nodes.shape[0]}")
+    for mode in ("tiled", "sorted"):
         o, d = make_rays(N, "incoherent" if mode == "sorted" else mode)
         if mode == "sorted":
             o, d = sort_rays(o, d, np.float32([-2, -2, -2]), np.float32([2, 2, 2]))
@@ -61,16 +59,17 @@ def worker(ablate):
                 best = dt if best is None else min(best, dt)
             ts[k] = best
         dev = (ts[16] - ts[1]) / 15
-        print(f"ablate={ablate or 'full':8s} {mode}: {N/dev/1e6:7.2f} Mrays/s "
-              f"({dev*1e3:.2f} ms/launch)", flush=True)
+        print(f"{tag} {mode}: {N/dev/1e6:7.2f} Mrays/s ({dev*1e3:.2f} ms)",
+              flush=True)
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
-        worker(os.environ.get("MI_BVH_ABLATE", ""))
+        worker()
     else:
-        for ablate in os.environ.get("MI_BENCH_ABLATES", ",nosweep,nodma").split(","):
-            env = dict(os.environ, MI_BVH_ABLATE=ablate)
+        for leaf, lflush in ((64, 16), (128, 8), (192, 8), (128, 16)):
+            env = dict(os.environ, MI_BVH_LEAF=str(leaf),
+                       MI_BVH_LFLUSH=str(lflush))
             subprocess.run(
                 [sys.executable, __file__, "--worker"], env=env, check=True
             )

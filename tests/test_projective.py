@@ -366,3 +366,105 @@ def test_area_shadow_boundary_gradient():
     fd, ad = _fd_vs_ad(scene, "occluder.vertex_positions", spp_fd=768)
     assert abs(fd) > 1.0, fd
     assert abs(ad - fd) < 0.2 * abs(fd), (ad, fd)
+
+
+def _glossy_chain_scene(boundary_depth):
+    """Occluder visible ONLY through a depth-3 glossy chain (VERDICT r4
+    item 2's acceptance config): camera -> 45-degree glossy floor ->
+    45-degree glossy panel -> area emitter partially blocked by an occluder.
+    Neither emitter, panel, nor occluder is in the camera's 25-degree view
+    cone, and there are no delta emitters — the ONLY visibility gradient is
+    the radiance jump across the occluder's edges as seen from the SECOND
+    path vertex (the panel), i.e. a depth-2 boundary seed."""
+    return mi.load_dict({
+        "type": "scene",
+        "integrator": {"type": "prb_projective", "max_depth": 4,
+                       "sppp": 0, "sppi": 48,
+                       "boundary_depth": boundary_depth},
+        "sensor": {
+            "type": "perspective",
+            "fov": 25.0,
+            "to_world": {"type": "look_at", "origin": [0, 0, 4],
+                         "target": [0, 0, 0], "up": [0, 1, 0]},
+            "film": {"type": "hdrfilm", "width": 20, "height": 20,
+                     "rfilter": {"type": "box"}},
+        },
+        # 45-degree glossy floor: camera rays reflect toward -y
+        "floor": {
+            "type": "rectangle",
+            "to_world": (
+                mi.Transform.rotate([1, 0, 0], 45.0)
+                @ mi.Transform.scale([2.5, 2.5, 1])
+            ),
+            "bsdf": {"type": "roughconductor", "alpha": 0.05},
+        },
+        # 45-degree glossy panel at y=-3: reflects the floor rays upward
+        "panel2": {
+            "type": "rectangle",
+            "to_world": (
+                mi.Transform.translate([0, -3.0, 0])
+                @ mi.Transform.rotate([1, 0, 0], -45.0)
+                @ mi.Transform.scale([2.5, 2.5, 1])
+            ),
+            "bsdf": {"type": "roughconductor", "alpha": 0.05},
+        },
+        # bright area emitter above the panel, facing down
+        "lamp": {
+            "type": "rectangle",
+            "to_world": (
+                mi.Transform.translate([0, -3.0, 3.0])
+                @ mi.Transform.rotate([1, 0, 0], 180.0)
+                @ mi.Transform.scale([0.8, 0.8, 1])
+            ),
+            "emitter": {"type": "area", "radiance": {"type": "rgb", "value": [40.0, 40.0, 40.0]}},
+        },
+        # occluder between panel and emitter; its edge near x=0.15 cuts the
+        # emitter as seen from the panel
+        "occluder": {
+            "type": "rectangle",
+            "to_world": (
+                mi.Transform.translate([0.55, -3.0, 1.5])
+                @ mi.Transform.scale([0.4, 0.5, 1])
+            ),
+            "bsdf": {"type": "diffuse", "reflectance": {"type": "rgb", "value": [0.05, 0.05, 0.05]}},
+        },
+    })
+
+
+def test_depth3_glossy_chain_boundary_gradient():
+    """Arbitrary-depth boundary seeds: the depth-2-seeded indirect pass
+    recovers the occluder gradient of the glossy double-bounce chain, which
+    depth-1-only sampling (r4 behavior, boundary_depth=1) provably misses
+    (reference: full boundary path space of PSIntegrator,
+    common.py:1305-1815)."""
+    scene = _glossy_chain_scene(boundary_depth=3)
+    path = _path_for(scene, "occluder.vertex_positions")
+    base = _tree_get(scene, path)
+    center = jnp.mean(base, axis=0, keepdims=True)
+    off = base - center
+
+    def loss(s, t, spp, seed):
+        return jnp.sum(mi.render(_tree_set(s, path, base + t * off),
+                                 spp=spp, seed=seed))
+
+    eps = 2e-2
+    fd = float((loss(scene, jnp.asarray(eps), 1024, 7)
+                - loss(scene, jnp.asarray(-eps), 1024, 7)) / (2 * eps))
+    assert abs(fd) > 100.0, fd
+
+    def ad_mean(s, seeds):
+        return float(np.mean([
+            jax.grad(lambda t: loss(s, t, 48, sd))(jnp.asarray(0.0))
+            for sd in seeds
+        ]))
+
+    # the boundary estimator is unbiased but glossy-chain variance is real:
+    # average a few independent gradient estimates (measured: FD stable at
+    # -2810 +- 30 across seeds/eps; single-seed AD sigma ~ 900, 3-seed mean
+    # within 3% of FD)
+    ad = ad_mean(scene, (7, 11, 13))
+    assert abs(ad - fd) < 0.25 * abs(fd), (ad, fd)
+
+    # the r4 depth-1-only estimator misses most of this gradient
+    ad1 = ad_mean(_glossy_chain_scene(boundary_depth=1), (7, 11, 13))
+    assert abs(ad1 - fd) > 2.0 * abs(ad - fd), (ad1, ad, fd)
