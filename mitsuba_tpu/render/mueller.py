@@ -192,11 +192,22 @@ def unit_angle(a, b):
 
 
 def rotate_stokes_basis(forward, basis_current, basis_target):
-    """Mueller matrix realigning two collinear Stokes bases (mueller.h:353-401)."""
-    theta = unit_angle(normalize(basis_current), normalize(basis_target))
-    flip = dot(forward, cross(basis_current, basis_target)) < 0
-    theta = jnp.where(flip, -theta, theta)
-    return rotator(theta)
+    """Mueller matrix realigning two collinear Stokes bases (mueller.h:353-401).
+
+    Built directly from (cos 2theta, sin 2theta) via dot/cross products —
+    algebraically identical to rotator(unit_angle(...)) but with a finite
+    derivative everywhere: the angle form's arcsin has an INFINITE gradient
+    at exactly (anti)parallel bases, which poisoned reverse-mode geometry
+    gradients through the Mueller rotations (r5 polarized-projective NaN)."""
+    a = normalize(basis_current)
+    b = normalize(basis_target)
+    c = dot(a, b)                          # cos theta
+    s = dot(forward, cross(a, b))          # sin theta, signed about forward
+    c2 = c * c - s * s                     # cos 2theta
+    s2 = 2.0 * s * c                       # sin 2theta
+    o = jnp.ones_like(c2)
+    z = jnp.zeros_like(c2)
+    return _mm([[o, z, z, z], [z, c2, s2, z], [z, -s2, c2, z], [z, z, z, o]])
 
 
 def rotate_mueller_basis(

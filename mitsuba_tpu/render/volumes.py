@@ -44,6 +44,29 @@ class GridVolume:
     bbox_min: jnp.ndarray   # [3]
     bbox_max: jnp.ndarray   # [3]
 
+    # corner-packed tables larger than this fall back to the 8-gather path
+    # (8x grid memory; 2M cells * 8 corners * 4 B = 64 MB per channel)
+    _PACK_LIMIT = 2_000_000
+
+    def _corner_packed(self):
+        """[D, H, W, 8, C] with slot k = the (dz, dy, dx) bit-pattern corner
+        of cell (z, y, x), edge-clamped.  Built from `data` with pure shifts
+        (differentiable; XLA hoists it out of the tracking scan), so ONE
+        gather fetches all 8 trilinear corners — a TPU gather of N indices
+        costs ~30 ms/M regardless of row width, so the r1-r4 8-gather eval
+        made heterogeneous delta tracking gather-bound (measured 50 s for a
+        128^2 x 16 spp, depth-16 render; single-gather packing -> ~8x less)."""
+        g = self.data
+        gx = jnp.concatenate([g, g[:, :, -1:]], axis=2)
+        gxy = jnp.concatenate([gx, gx[:, -1:]], axis=1)
+        gp = jnp.concatenate([gxy, gxy[-1:]], axis=0)      # [D+1, H+1, W+1, C]
+        d, h, w, c = g.shape
+        corners = [
+            gp[dz:dz + d, dy:dy + h, dx:dx + w]
+            for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)
+        ]
+        return jnp.stack(corners, axis=-2)                 # [D, H, W, 8, C]
+
     def eval(self, p, n_channels):
         d, h, w, c = self.data.shape
         # world -> [0,1]^3 -> voxel coords (cell-centered samples)
@@ -54,28 +77,41 @@ class GridVolume:
         x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 1)
         y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 1)
         z0 = jnp.clip(jnp.floor(z).astype(jnp.int32), 0, d - 1)
-        x1 = jnp.minimum(x0 + 1, w - 1)
-        y1 = jnp.minimum(y0 + 1, h - 1)
-        z1 = jnp.minimum(z0 + 1, d - 1)
         fx = jnp.clip(x - x0, 0.0, 1.0)[..., None]
         fy = jnp.clip(y - y0, 0.0, 1.0)[..., None]
         fz = jnp.clip(z - z0, 0.0, 1.0)[..., None]
-        g = self.data
-        v000 = g[z0, y0, x0]
-        v001 = g[z0, y0, x1]
-        v010 = g[z0, y1, x0]
-        v011 = g[z0, y1, x1]
-        v100 = g[z1, y0, x0]
-        v101 = g[z1, y0, x1]
-        v110 = g[z1, y1, x0]
-        v111 = g[z1, y1, x1]
-        v00 = v000 * (1 - fx) + v001 * fx
-        v01 = v010 * (1 - fx) + v011 * fx
-        v10 = v100 * (1 - fx) + v101 * fx
-        v11 = v110 * (1 - fx) + v111 * fx
-        v0 = v00 * (1 - fy) + v01 * fy
-        v1 = v10 * (1 - fy) + v11 * fy
-        v = v0 * (1 - fz) + v1 * fz
+        if d * h * w <= self._PACK_LIMIT:
+            packed = self._corner_packed().reshape(d * h * w, 8 * c)
+            rows = packed[(z0 * h + y0) * w + x0]          # [N, 8C] one gather
+            v8 = rows.reshape(rows.shape[:-1] + (8, c))
+            wz = jnp.stack([1.0 - fz[..., 0], fz[..., 0]], axis=-1)
+            wy = jnp.stack([1.0 - fy[..., 0], fy[..., 0]], axis=-1)
+            wx = jnp.stack([1.0 - fx[..., 0], fx[..., 0]], axis=-1)
+            w8 = (
+                wz[..., :, None, None] * wy[..., None, :, None]
+                * wx[..., None, None, :]
+            ).reshape(wz.shape[:-1] + (8,))
+            v = jnp.sum(v8 * w8[..., None], axis=-2)
+        else:
+            x1 = jnp.minimum(x0 + 1, w - 1)
+            y1 = jnp.minimum(y0 + 1, h - 1)
+            z1 = jnp.minimum(z0 + 1, d - 1)
+            g = self.data
+            v000 = g[z0, y0, x0]
+            v001 = g[z0, y0, x1]
+            v010 = g[z0, y1, x0]
+            v011 = g[z0, y1, x1]
+            v100 = g[z1, y0, x0]
+            v101 = g[z1, y0, x1]
+            v110 = g[z1, y1, x0]
+            v111 = g[z1, y1, x1]
+            v00 = v000 * (1 - fx) + v001 * fx
+            v01 = v010 * (1 - fx) + v011 * fx
+            v10 = v100 * (1 - fx) + v101 * fx
+            v11 = v110 * (1 - fx) + v111 * fx
+            v0 = v00 * (1 - fy) + v01 * fy
+            v1 = v10 * (1 - fy) + v11 * fy
+            v = v0 * (1 - fz) + v1 * fz
         inside = jnp.all((q >= 0.0) & (q <= 1.0), axis=-1)
         v = jnp.where(inside[..., None], v, 0.0)
         if c == 1 and n_channels > 1:
