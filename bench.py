@@ -205,57 +205,6 @@ def main():
     except Exception:
         pass
 
-    # ---- BASELINE config 3: heterogeneous grid medium + HG, forward ----
-    het_mrays = het_wall = None
-    try:
-        import numpy as np
-
-        rng_np = np.random.default_rng(3)
-        grid = (0.3 + 2.2 * rng_np.random((32, 32, 32, 1))).astype(np.float32)
-        het_d = {
-            "type": "scene",
-            "integrator": {"type": "volpath", "max_depth": 12,
-                           "track_steps": 16, "nee_steps": 16},
-            "sensor": {
-                "type": "perspective", "fov": 45,
-                "to_world": [{"type": "look_at", "origin": [0, 0, 4],
-                              "target": [0, 0, 0], "up": [0, 1, 0]}],
-                "film": {"type": "hdrfilm", "width": 96, "height": 96,
-                         "rfilter": {"type": "box"}},
-            },
-            "light": {"type": "constant",
-                      "radiance": {"type": "rgb", "value": [1.0, 1.0, 1.0]}},
-            "cloud": {
-                "type": "cube",
-                "to_world": [{"type": "scale", "value": [1.2, 1.2, 1.2]}],
-                "bsdf": {"type": "null"},
-                "interior": {
-                    "type": "heterogeneous",
-                    "sigma_t": {
-                        "type": "gridvolume", "data": grid,
-                        "bbox_min": [-1, -1, -1], "bbox_max": [1, 1, 1],
-                    },
-                    "albedo": 0.9,
-                    "phase": {"type": "hg", "g": 0.5},
-                },
-            },
-        }
-        scene_h = mi.load_dict(het_d)
-        spp_h = 16
-        _, _, _, aux_h = _render_pass(scene_h, jnp.uint32(0), 0, spp_h, spp_h, 0)
-        nr_h = float(aux_h.get("n_rays", 0.0))
-
-        def run_h(seed):
-            L, _, _, _ = _render_pass(scene_h, seed, 0, spp_h, spp_h, 0)
-            return L.sum()
-
-        best_h = slope_time(run_h, k=3)
-        het_mrays = round(nr_h / best_h / 1e6, 2)
-        het_wall = round(best_h, 4)
-    except Exception:
-        import sys as _s, traceback as _tb
-        _tb.print_exc(file=_s.stderr)
-
     # ---- BASELINE config 4: polarized Rayleigh+Mie atmosphere Stokes ----
     atmo_msamples = atmo_wall = None
     try:
@@ -378,6 +327,59 @@ def main():
         _tb.print_exc(file=_s.stderr)
     finally:
         mi.set_variant("llvm_ad_rgb")
+
+    # ---- BASELINE config 3: heterogeneous grid medium + HG, forward ----
+    # (runs LAST: this config twice faulted the TPU through the axon relay
+    # in r5 — a fault here must not take configs 4-5 down with it)
+    het_mrays = het_wall = None
+    try:
+        import numpy as np
+
+        rng_np = np.random.default_rng(3)
+        grid = (0.3 + 2.2 * rng_np.random((32, 32, 32, 1))).astype(np.float32)
+        het_d = {
+            "type": "scene",
+            "integrator": {"type": "volpath", "max_depth": 12,
+                           "track_steps": 16, "nee_steps": 16},
+            "sensor": {
+                "type": "perspective", "fov": 45,
+                "to_world": [{"type": "look_at", "origin": [0, 0, 4],
+                              "target": [0, 0, 0], "up": [0, 1, 0]}],
+                "film": {"type": "hdrfilm", "width": 96, "height": 96,
+                         "rfilter": {"type": "box"}},
+            },
+            "light": {"type": "constant",
+                      "radiance": {"type": "rgb", "value": [1.0, 1.0, 1.0]}},
+            "cloud": {
+                "type": "cube",
+                "to_world": [{"type": "scale", "value": [1.2, 1.2, 1.2]}],
+                "bsdf": {"type": "null"},
+                "interior": {
+                    "type": "heterogeneous",
+                    "sigma_t": {
+                        "type": "gridvolume", "data": grid,
+                        "bbox_min": [-1, -1, -1], "bbox_max": [1, 1, 1],
+                    },
+                    "albedo": 0.9,
+                    "phase": {"type": "hg", "g": 0.5},
+                },
+            },
+        }
+        scene_h = mi.load_dict(het_d)
+        spp_h = 16
+        _, _, _, aux_h = _render_pass(scene_h, jnp.uint32(0), 0, spp_h, spp_h, 0)
+        nr_h = float(aux_h.get("n_rays", 0.0))
+
+        def run_h(seed):
+            L, _, _, _ = _render_pass(scene_h, seed, 0, spp_h, spp_h, 0)
+            return L.sum()
+
+        best_h = slope_time(run_h, k=3)
+        het_mrays = round(nr_h / best_h / 1e6, 2)
+        het_wall = round(best_h, 4)
+    except Exception:
+        import sys as _s, traceback as _tb
+        _tb.print_exc(file=_s.stderr)
 
     print(
         json.dumps(
