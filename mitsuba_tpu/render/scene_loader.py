@@ -667,6 +667,7 @@ def load_dict(d):
     integrator_spec = {"type": "path"}
     tri_meshes = []
     spheres = []
+    capsules = []
     sdf_shapes = []
     shape_records = []    # per shape: dict(bsdf=idx, emitter=idx, name=...)
     param_paths = []      # final (key, full path tuple)
@@ -792,15 +793,20 @@ def load_dict(d):
                     curves = [cps] if cps.ndim == 2 else list(cps)
                 else:
                     curves = SH.load_curve_file(_rfile(spec["filename"]))
-                m = SH.make_curve_tube(
+                if "emitter" in spec:
+                    raise ValueError(
+                        f"{name}: curve shapes cannot carry an area emitter"
+                    )
+                # analytic capsule segments — exact round cross-sections
+                # (see shapes.make_curve_capsules; replaces the r2-r4
+                # triangle-tube tessellation)
+                for seg in SH.make_curve_capsules(
                     curves,
                     kind="bspline" if t == "bsplinecurve" else "linear",
                     to_world=to_world,
                     subdiv=int(spec.get("subdiv", 4)),
-                    phi_res=int(spec.get("phi_res", 8)),
-                )
-                m["shape_index"] = shape_index
-                tri_meshes.append(m)
+                ):
+                    capsules.append({**seg, "shape_index": shape_index})
             elif t == "sdfgrid":
                 if "data" in spec:
                     grid = np.asarray(spec["data"], np.float32)
@@ -938,7 +944,7 @@ def load_dict(d):
         )
         film = Film(width=64, height=64)
 
-    geometry = SH.build_geometry(tri_meshes, spheres, sdf_shapes)
+    geometry = SH.build_geometry(tri_meshes, spheres, sdf_shapes, capsules)
 
     # fill mesh_attribute texture placeholders now that global triangle
     # offsets are known (reference: mesh_attribute.cpp reads the attribute
@@ -973,6 +979,14 @@ def load_dict(d):
         sr = np.asarray([s["radius"] for s in spheres])
         bbox_min = np.minimum(bbox_min, (sc - sr[:, None]).min(0))
         bbox_max = np.maximum(bbox_max, (sc + sr[:, None]).max(0))
+    if capsules:
+        cp = np.concatenate(
+            [np.stack([c["a"] for c in capsules]),
+             np.stack([c["b"] for c in capsules])]
+        )
+        cr = np.concatenate([[c["r"] for c in capsules]] * 2).reshape(-1, 1)
+        bbox_min = np.minimum(bbox_min, (cp - cr).min(0))
+        bbox_max = np.maximum(bbox_max, (cp + cr).max(0))
     radius = 0.5 * float(np.linalg.norm(bbox_max - bbox_min)) or 1.0
 
     # area emitters: build per-emitter triangle CDFs

@@ -50,6 +50,17 @@ class Geometry:
     sph_center: jnp.ndarray  # [S, 3]
     sph_radius: jnp.ndarray  # [S]
     sph_shape: jnp.ndarray   # [S] int32
+    # analytic capsules (swept spheres of line segments) — the EXACT
+    # geometry of `linearcurve` chains and of `bsplinecurve` polylines
+    # (reference: src/shapes/{linearcurve,bsplinecurve}.cpp intersect round
+    # cross-sections analytically; the r2-r4 triangle-tube tessellation gave
+    # faceted silhouettes).  Radius is constant per segment (the mean of the
+    # segment's endpoint radii — exact for untapered fibers, first-order for
+    # tapered ones after resampling).
+    cap_a: jnp.ndarray       # [K, 3] segment start
+    cap_b: jnp.ndarray       # [K, 3] segment end
+    cap_r: jnp.ndarray       # [K]
+    cap_shape: jnp.ndarray   # [K] int32 (-1 pad)
     # signed-distance-field grid shape (reference: src/shapes/sdfgrid.cpp):
     # one grid per scene for now; values on [0,1]^3 nodes, sphere-traced.
     # sdf_data is a DIFFERENTIABLE scene parameter (hit t couples to the
@@ -73,6 +84,7 @@ class Geometry:
     has_vertex_normals: bool = struct.field(pytree_node=False)
     n_sdfs: int = struct.field(pytree_node=False, default=0)
     has_bvh: bool = struct.field(pytree_node=False, default=False)
+    n_capsules: int = struct.field(pytree_node=False, default=0)
     # (start, count) per mesh into `vertices`, ordered like the meshes passed
     # to build_geometry; consumed by traverse() for per-shape
     # `vertex_positions` views
@@ -108,12 +120,14 @@ class Geometry:
         return self.replace(tri_v0=p0, tri_e1=e1, tri_e2=e2, tri_ng=ng, tri_vn=vn)
 
 
-def build_geometry(tri_meshes, spheres, sdfs=()):
+def build_geometry(tri_meshes, spheres, sdfs=(), capsules=()):
     """Host-side geometry compile.
 
     tri_meshes: list of dicts {vertices [V,3], faces [F,3], shape_index,
                 normals (opt) [V,3], uvs (opt) [V,2]}
     spheres: list of dicts {center, radius, shape_index}
+    capsules: list of dicts {a, b, r, shape_index} — exact swept-sphere
+              curve segments (see Geometry.cap_* docs)
     """
     v0s, e1s, e2s, ngs, vns, uvs, sids = [], [], [], [], [], [], []
     verts_all, vnorms_all, faces_all, vslices = [], [], [], []
@@ -191,6 +205,12 @@ def build_geometry(tri_meshes, spheres, sdfs=()):
     sph_radius = np.asarray([s["radius"] for s in spheres], np.float32).reshape(S) if S else np.zeros((1,), np.float32)
     sph_shape = np.asarray([s["shape_index"] for s in spheres], np.int32).reshape(S) if S else np.full((1,), -1, np.int32)
 
+    K = len(capsules)
+    cap_a = np.asarray([c["a"] for c in capsules], np.float32).reshape(K, 3) if K else np.zeros((1, 3), np.float32)
+    cap_b = np.asarray([c["b"] for c in capsules], np.float32).reshape(K, 3) if K else np.asarray([[0.0, 0.0, 1.0]], np.float32)
+    cap_r = np.asarray([c["r"] for c in capsules], np.float32).reshape(K) if K else np.zeros((1,), np.float32)
+    cap_shape = np.asarray([c["shape_index"] for c in capsules], np.int32).reshape(K) if K else np.full((1,), -1, np.int32)
+
     # large scenes: native binned-SAH BVH + leaf-order triangle reordering
     from ..ops.intersect import MAX_SMEM_TRIS
 
@@ -264,6 +284,8 @@ def build_geometry(tri_meshes, spheres, sdfs=()):
         tri_shape=jnp.asarray(tri_shape),
         sph_center=jnp.asarray(sph_center), sph_radius=jnp.asarray(sph_radius),
         sph_shape=jnp.asarray(sph_shape),
+        cap_a=jnp.asarray(cap_a), cap_b=jnp.asarray(cap_b),
+        cap_r=jnp.asarray(cap_r), cap_shape=jnp.asarray(cap_shape),
         sdf_data=jnp.asarray(
             sdfs[0]["data"] if sdfs else np.zeros((1, 1, 1), np.float32)
         ),
@@ -276,7 +298,7 @@ def build_geometry(tri_meshes, spheres, sdfs=()):
         bvh_lo=jnp.asarray(bvh_lo), bvh_hi=jnp.asarray(bvh_hi),
         bvh_skip=jnp.asarray(bvh_skip), bvh_payload=jnp.asarray(bvh_payload),
         n_tris=T_pad, n_spheres=S, n_sdfs=len(sdfs), has_vertex_normals=any_vn,
-        has_bvh=has_bvh,
+        has_bvh=has_bvh, n_capsules=K,
     )
 
 
@@ -539,12 +561,65 @@ def _sphere_pass(geom: Geometry, ray: Ray, best_t, best_prim, best_uv):
         best_t = jnp.where(closer, tj, best_t)
         best_prim = jnp.where(closer, geom.n_tris + j.astype(jnp.int32), best_prim)
 
+    if geom.n_capsules > 0:
+        # capsule (swept-sphere segment) quadratic, batched [N, K]
+        # (the classic closed form: infinite-cylinder quadratic scaled by
+        # |ba|^2, body hit clamped to the segment, spherical end caps)
+        a = geom.cap_a
+        bvec = geom.cap_b - geom.cap_a
+        r = geom.cap_r
+        m = ray.o[:, None, :] - a[None]                        # [N,K,3]
+        baba = jnp.maximum(jnp.sum(bvec * bvec, axis=-1), 1e-20)   # [K]
+        bard = jnp.sum(ray.d[:, None, :] * bvec[None], axis=-1)    # [N,K]
+        bam = jnp.sum(m * bvec[None], axis=-1)
+        md = jnp.sum(m * ray.d[:, None, :], axis=-1)
+        mm = jnp.sum(m * m, axis=-1)
+        A = baba[None] - bard * bard
+        B = baba[None] * md - bam * bard
+        C = baba[None] * mm - bam * bam - (r * r * baba)[None]
+        disc = B * B - A * C
+        pos = disc > 0.0
+        sq = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
+        okA = A > 1e-12
+        t_body = jnp.where(
+            pos & okA, (-B - sq) / jnp.where(okA, A, 1.0), jnp.inf
+        )
+        y = bam + t_body * bard
+        body_ok = pos & okA & (t_body > 0.0) & (y >= 0.0) & (y <= baba[None])
+        t_body = jnp.where(body_ok, t_body, jnp.inf)
+
+        def _cap_sphere(ocd, oc2):
+            dsc = ocd * ocd - (oc2 - (r * r)[None])
+            p2 = dsc > 0.0
+            s2 = jnp.where(p2, jnp.sqrt(jnp.where(p2, dsc, 1.0)), 0.0)
+            t0 = -ocd - s2
+            t1 = -ocd + s2
+            tt = jnp.where(t0 > 0.0, t0, t1)
+            return jnp.where(p2 & (tt > 0.0), tt, jnp.inf)
+
+        t_a = _cap_sphere(md, mm)
+        t_a = jnp.where(bam + t_a * bard <= 0.0, t_a, jnp.inf)
+        t_b2 = _cap_sphere(md - bard, mm - 2.0 * bam + baba[None])
+        t_b2 = jnp.where(bam + t_b2 * bard >= baba[None], t_b2, jnp.inf)
+        t_cap = jnp.minimum(jnp.minimum(t_body, t_a), t_b2)
+        t_cap = jnp.where((geom.cap_shape >= 0)[None], t_cap, jnp.inf)
+        jc = jnp.argmin(t_cap, axis=-1)
+        tj = jnp.take_along_axis(t_cap, jc[:, None], axis=-1)[:, 0]
+        closer = tj < best_t
+        best_t = jnp.where(closer, tj, best_t)
+        best_prim = jnp.where(
+            closer,
+            geom.n_tris + geom.n_spheres + jc.astype(jnp.int32), best_prim,
+        )
+
     if geom.n_sdfs > 0:
         t_sdf, hit_sdf = _sdf_trace(geom, ray, best_t)
         closer = hit_sdf & (t_sdf < best_t)
         best_t = jnp.where(closer, t_sdf, best_t)
         best_prim = jnp.where(
-            closer, jnp.int32(geom.n_tris + geom.n_spheres), best_prim
+            closer,
+            jnp.int32(geom.n_tris + geom.n_spheres + geom.n_capsules),
+            best_prim,
         )
 
     found = best_prim >= 0
@@ -576,7 +651,7 @@ def ray_test(geom: Geometry, ray: Ray, active=None):
             nbox, nmeta, geom.tri_v0, geom.tri_e1, geom.tri_e2,
             ray.o[order], ray.d[order], maxt[order],
         )[inv]
-        if geom.n_spheres > 0:
+        if geom.n_spheres > 0 or geom.n_capsules > 0 or geom.n_sdfs > 0:
             zero_t = jnp.where(active, ray.maxt, -jnp.inf)
             pi_s = _sphere_pass(
                 geom, ray, zero_t, jnp.full((N,), -1, jnp.int32),
@@ -654,10 +729,49 @@ def compute_surface_interaction(geom: Geometry, ray: Ray, pi: PreliminaryInterse
     else:
         ng, sh_n, uv, shape_index = ng_t, sh_n_t, uv_t, shape_t
 
+    if geom.n_capsules > 0:
+        # capsule attributes: radial normal about the clamped axis point,
+        # uv = (azimuth about the axis, arc parameter along the segment) —
+        # the reference's curve (u = along, v = around) parameterization
+        # (src/shapes/linearcurve.cpp)
+        base_c = geom.n_tris + geom.n_spheres
+        is_cap = (prim >= base_c) & (prim < base_c + geom.n_capsules)
+        cprim = jnp.clip(prim - base_c, 0, max(geom.n_capsules - 1, 0))
+        cap_tbl = jnp.concatenate(
+            [
+                geom.cap_a, geom.cap_b,
+                geom.cap_shape[:, None].astype(jnp.float32),
+            ],
+            axis=-1,
+        )
+        cap_row = lookup_rows(cap_tbl, cprim)
+        ca = cap_row[..., 0:3]
+        cb = cap_row[..., 3:6]
+        ba = cb - ca
+        baba = jnp.maximum(jnp.sum(ba * ba, axis=-1), 1e-20)
+        yf = jnp.clip(jnp.sum((p - ca) * ba, axis=-1) / baba, 0.0, 1.0)
+        axis_pt = ca + yf[:, None] * ba
+        dn = p - axis_pt
+        ln2 = jnp.sum(dn * dn, axis=-1, keepdims=True)
+        good = ln2 > 1e-18
+        n_c = jnp.where(
+            good, dn * jax.lax.rsqrt(jnp.where(good, ln2, 1.0)), 0.0
+        )
+        tan_h = ba * jax.lax.rsqrt(baba)[:, None]
+        e1c, e2c = coordinate_system(tan_h)
+        phi_c = jnp.arctan2(dot(n_c, e2c), dot(n_c, e1c))
+        uv_c = jnp.stack([yf, phi_c / (2.0 * jnp.pi) + 0.5], axis=-1)
+        shape_c = cap_row[..., 6].astype(jnp.int32)
+
+        ng = jnp.where(is_cap[:, None], n_c, ng)
+        sh_n = jnp.where(is_cap[:, None], n_c, sh_n)
+        uv = jnp.where(is_cap[:, None], uv_c, uv)
+        shape_index = jnp.where(is_cap, shape_c, shape_index)
+
     if geom.n_sdfs > 0:
         # SDF normal: local gradient mapped by the inverse-transpose
         # (reference: sdfgrid.cpp smooth normal mode)
-        is_sdf = prim >= (geom.n_tris + geom.n_spheres)
+        is_sdf = prim >= (geom.n_tris + geom.n_spheres + geom.n_capsules)
         A = geom.sdf_to_local
         p_l = p @ A[:3, :3].T + A[:3, 3]
         g_l = sdf_gradient(geom.sdf_data, p_l)
@@ -713,6 +827,37 @@ def _bspline_resample(pts, radii, subdiv):
             out_p.append(b0 * P[s] + b1 * P[s + 1] + b2 * P[s + 2] + b3 * P[s + 3])
             out_r.append(b0 * R[s] + b1 * R[s + 1] + b2 * R[s + 2] + b3 * R[s + 3])
     return np.asarray(out_p, np.float32), np.asarray(out_r, np.float32)
+
+
+def make_curve_capsules(curves, kind="linear", to_world=None, subdiv=4):
+    """Convert fiber curves into analytic capsule segments (EXACT swept-
+    sphere geometry; reference: src/shapes/{linearcurve,bsplinecurve}.cpp).
+
+    `linearcurve` chains map exactly; `bsplinecurve` control polygons are
+    resampled to a dense polyline first (subdiv points per spline span), so
+    the cross-section is exactly round everywhere and only the spine is a
+    polyline approximation — replacing the r2-r4 triangle-tube tessellation
+    whose silhouettes were faceted both around AND along the fiber.  Radius
+    is the per-segment endpoint mean (exact for untapered fibers).
+
+    curves: list of [P, 4] arrays (x, y, z, radius per vertex).
+    Returns a list of {a, b, r} dicts."""
+    out = []
+    mm = np.asarray(to_world.m, np.float32) if to_world is not None else None
+    for c in curves:
+        c = np.asarray(c, np.float32)
+        pts, radii = c[:, :3], c[:, 3]
+        if kind == "bspline":
+            pts, radii = _bspline_resample(pts, radii, subdiv)
+        if mm is not None:
+            pts = pts @ mm[:3, :3].T + mm[:3, 3]
+            radii = radii * float(np.cbrt(abs(np.linalg.det(mm[:3, :3]))))
+        for i in range(pts.shape[0] - 1):
+            out.append({
+                "a": pts[i], "b": pts[i + 1],
+                "r": 0.5 * (radii[i] + radii[i + 1]),
+            })
+    return out
 
 
 def make_curve_tube(curves, kind="linear", to_world=None, subdiv=4, phi_res=8):
