@@ -28,7 +28,8 @@ TRI_CHUNK = 64
 @struct.dataclass
 class Geometry:
     """Flattened scene geometry.  Primitive ids: [0, n_tris) are triangles,
-    [n_tris, n_tris + n_spheres) are spheres.
+    [n_tris, n_tris + n_spheres) spheres, then n_capsules capsule segments,
+    then the SDF grid.
 
     `vertices` is the differentiable source of truth for triangle geometry
     (the analog of the reference's Differentiable|Discontinuous mesh
