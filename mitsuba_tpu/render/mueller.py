@@ -183,7 +183,9 @@ def stokes_basis(forward):
 
 
 def unit_angle(a, b):
-    """Numerically stable angle between unit vectors (drjit sphere.h)."""
+    """Numerically stable angle between unit vectors (drjit sphere.h).
+    Kept for API parity/tests; rotate_stokes_basis no longer routes through
+    it (its arcsin has an infinite derivative at the clip boundary)."""
     dot_ab = dot(a, b)
     d = jnp.sqrt(jnp.sum((b - a) ** 2, axis=-1))
     s = jnp.sqrt(jnp.sum((b + a) ** 2, axis=-1))
