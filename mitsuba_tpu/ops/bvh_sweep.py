@@ -51,6 +51,18 @@ cost is Mosaic scheduling around the DMA-written leaf_buf (nodma's stale
 buffer is loop-invariant and its sweep code likely collapses under CSE,
 making that ablation an underestimate).  scripts/roofline_bvh.py carries
 the speed-of-light model these numbers are judged against.
+
+Round-5 follow-up (the residual is NOT DMA scheduling): staging every leaf
+window through a non-DMA VMEM scratch before sweeping (MI_BVH_STAGE=1, kept
+in-tree as the documented experiment — it also shrinks the RING-specialized
+sweep bodies 4x) measured 3.32 vs 3.35 Mrays/s baseline: a wash, refuting
+the Mosaic-ordering-around-DMA-buffers hypothesis.  Ring-depth sweep:
+RING=8 3.26, RING=4 3.35, RING=2 3.40, STAGE+RING=2 3.36 — all within
++/-2% noise, so the kernel is neither DMA-latency- nor code-size-bound.
+Elimination leaves genuine VPU sweep work + per-leaf mask-branch sequencer
+overhead as the cost; the next structural lever would be sweeping multiple
+listed leaves' windows as one fused wider tile (amortizing the per-row
+branch scaffolding), not more DMA tuning.
 """
 from __future__ import annotations
 
@@ -84,6 +96,11 @@ LFLUSH = int(os.environ.get("MI_BVH_LFLUSH", "16"))
 # bench-only ablation: "nosweep" skips leaf sweeps (wrong results; isolates
 # window-test + walk cost), "nodma" sweeps stale buffers without DMA waits
 ABLATE = os.environ.get("MI_BVH_ABLATE", "")
+# stage leaf windows through a non-DMA VMEM scratch before sweeping (tests
+# whether Mosaic's ordering around the DMA-written ring buffer is the
+# decomposition residual; also collapses the RING-specialized sweep bodies
+# into one, shrinking kernel code 4x)
+STAGE = os.environ.get("MI_BVH_STAGE", "0") == "1"
 # leaf-DMA ring depth (in-flight copies; latency hiding beyond double-buffer)
 RING = int(os.environ.get("MI_BVH_RING", "4"))
 
@@ -91,7 +108,7 @@ RING = int(os.environ.get("MI_BVH_RING", "4"))
 def _kernel(T_pad, anyhit, nbox_ref, nmeta_ref, tri_ref,
             ox, oy, oz, dx, dy, dz, mt,
             t_out, p_out, u_out, v_out,
-            leaf_buf, leaf_pl, leaf_rm, rmask, leaf_sem):
+            leaf_buf, leaf_pl, leaf_rm, rmask, sweep_buf, leaf_sem):
     """Windowed block traversal with interleaved chunked sweeps and per-ROW
     (128-lane sublane row) hit masks.
 
@@ -164,34 +181,47 @@ def _kernel(T_pad, anyhit, nbox_ref, nmeta_ref, tri_ref,
         count = payload & 0xFF
         w8 = (start >> 3) << 3
 
-        for slot_val in range(RING):
-            @pl.when(slot == slot_val)
-            def _slot(slot_val=slot_val):
-                for r in range(BLOCK_ROWS):
-                    @pl.when(((rm >> r) & 1) == 1)
-                    def _row(r=r, slot_val=slot_val):
-                        o_xr = o_x[r : r + 1, :]
-                        o_yr = o_y[r : r + 1, :]
-                        o_zr = o_z[r : r + 1, :]
-                        d_xr = d_x[r : r + 1, :]
-                        d_yr = d_y[r : r + 1, :]
-                        d_zr = d_z[r : r + 1, :]
-                        carry = (
-                            t_out[r : r + 1, :], p_out[r : r + 1, :],
-                            u_out[r : r + 1, :], v_out[r : r + 1, :],
+        def _rows(fetch_chunk):
+            for r in range(BLOCK_ROWS):
+                @pl.when(((rm >> r) & 1) == 1)
+                def _row(r=r):
+                    o_xr = o_x[r : r + 1, :]
+                    o_yr = o_y[r : r + 1, :]
+                    o_zr = o_z[r : r + 1, :]
+                    d_xr = d_x[r : r + 1, :]
+                    d_yr = d_y[r : r + 1, :]
+                    d_zr = d_z[r : r + 1, :]
+                    carry = (
+                        t_out[r : r + 1, :], p_out[r : r + 1, :],
+                        u_out[r : r + 1, :], v_out[r : r + 1, :],
+                    )
+                    for j in range(WBUF // 8):
+                        carry = _mt_chunk(
+                            w8 + 8 * j, start, count,
+                            fetch_chunk(j),
+                            o_xr, o_yr, o_zr, d_xr, d_yr, d_zr,
+                            *carry,
                         )
-                        for j in range(WBUF // 8):
-                            carry = _mt_chunk(
-                                w8 + 8 * j, start, count,
-                                leaf_buf[slot_val, 8 * j : 8 * j + 8, 0:16],
-                                o_xr, o_yr, o_zr, d_xr, d_yr, d_zr,
-                                *carry,
-                            )
-                        bt_r, bp_r, bu_r, bv_r = carry
-                        t_out[r : r + 1, :] = bt_r
-                        p_out[r : r + 1, :] = bp_r
-                        u_out[r : r + 1, :] = bu_r
-                        v_out[r : r + 1, :] = bv_r
+                    bt_r, bp_r, bu_r, bv_r = carry
+                    t_out[r : r + 1, :] = bt_r
+                    p_out[r : r + 1, :] = bp_r
+                    u_out[r : r + 1, :] = bu_r
+                    v_out[r : r + 1, :] = bv_r
+
+        if STAGE:
+            # decouple the VPU sweep from the DMA-written ring buffer: one
+            # bulk copy into a plain scratch, then a single slot-independent
+            # sweep body
+            for slot_val in range(RING):
+                @pl.when(slot == slot_val)
+                def _copy(slot_val=slot_val):
+                    sweep_buf[...] = leaf_buf[slot_val]
+            _rows(lambda j: sweep_buf[8 * j : 8 * j + 8, 0:16])
+        else:
+            for slot_val in range(RING):
+                @pl.when(slot == slot_val)
+                def _slot(slot_val=slot_val):
+                    _rows(lambda j: leaf_buf[slot_val, 8 * j : 8 * j + 8, 0:16])
 
     def _mt_chunk(g, start, count, chunk,
                   o_xr, o_yr, o_zr, d_xr, d_yr, d_zr,
@@ -387,6 +417,7 @@ def _pallas_bvh_sweep(nbox, nmeta, tri16, ox, oy, oz, dx, dy, dz, mt, anyhit=Fal
             pltpu.SMEM((LFLUSH,), jnp.int32),     # leaf payloads
             pltpu.SMEM((LFLUSH,), jnp.int32),     # leaf row masks
             pltpu.SMEM((NWIN,), jnp.int32),       # window row masks
+            pltpu.VMEM((WBUF, 128), jnp.float32),  # STAGE sweep scratch
             pltpu.SemaphoreType.DMA((RING,)),
         ],
         out_shape=[
