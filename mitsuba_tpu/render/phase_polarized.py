@@ -149,15 +149,25 @@ class MiePhase:
 
     def bake(self, n_nodes=256):
         """Solve the Mie series over a cos(theta) grid and bake a
-        TabPhasePolarized (the reference's practical pipeline, SURVEY §3.5)."""
-        nodes = jnp.linspace(-1.0, 1.0, n_nodes).astype(jnp.float32)
-        M, _, _ = self.eval_mueller_mu(nodes)
+        TabPhasePolarized (the reference's practical pipeline, SURVEY §3.5).
+
+        The series is complex-valued and TPU backends lack complex support
+        (a complex op faults the backend), so this setup-time solve is
+        pinned to the host CPU backend; only the baked REAL tables move to
+        the accelerator — exactly the reference's precompute-then-tabulate
+        split (mie.cpp:252,272 disables Mie inside recorded kernels)."""
+        cpu = jax.devices("cpu")[0]
+        host = jax.device_put(self, cpu)
+        with jax.default_device(cpu):
+            nodes = jnp.linspace(-1.0, 1.0, n_nodes).astype(jnp.float32)
+            M, _, _ = host.eval_mueller_mu(nodes)
+        M = np.asarray(M)
         return TabPhasePolarized(
-            nodes=nodes,
-            m11=M[:, 0, 0],
-            m12=M[:, 0, 1],
-            m33=M[:, 2, 2],
-            m34=M[:, 2, 3],
+            nodes=jnp.asarray(np.linspace(-1.0, 1.0, n_nodes), jnp.float32),
+            m11=jnp.asarray(M[:, 0, 0]),
+            m12=jnp.asarray(M[:, 0, 1]),
+            m33=jnp.asarray(M[:, 2, 2]),
+            m34=jnp.asarray(M[:, 2, 3]),
         )
 
 
